@@ -74,6 +74,16 @@ class EdgeLayout:
     check_groups: Tuple[NodeGroup, ...]  # check-major enumeration
     bit_groups: Tuple[NodeGroup, ...]  # bit-major enumeration
 
+    # Fused permutations (concatenations of the groups' cross_flat tables):
+    # one gather per direction per decoder iteration.
+    #   x_bit_major = x_check_major[..., to_bit_major]
+    #   x_check_major = x_bit_major[..., to_check_major]
+    to_bit_major: np.ndarray  # [E]
+    to_check_major: np.ndarray  # [E]
+    # Internal bit index of each check-major flat position (for syndrome
+    # gathers and message init).
+    check_edge_bit: np.ndarray  # [E]
+
     is_regular: bool
 
     @property
@@ -198,6 +208,16 @@ def compile_layout(matrix: HMatrix) -> EdgeLayout:
             )
         )
 
+    to_check_major = np.concatenate(
+        [g.cross_flat.reshape(-1) for g in check_groups]
+    ).astype(np.int32)
+    to_bit_major = np.concatenate(
+        [g.cross_flat.reshape(-1) for g in bit_groups]
+    ).astype(np.int32)
+    check_edge_bit = np.concatenate(
+        [g.neighbor.reshape(-1) for g in check_groups]
+    ).astype(np.int32)
+
     return EdgeLayout(
         num_bits=n,
         num_checks=m,
@@ -208,6 +228,9 @@ def compile_layout(matrix: HMatrix) -> EdgeLayout:
         check_inv=check_inv,
         check_groups=tuple(check_groups),
         bit_groups=tuple(bit_groups),
+        to_bit_major=to_bit_major,
+        to_check_major=to_check_major,
+        check_edge_bit=check_edge_bit,
         is_regular=matrix.is_regular,
     )
 

@@ -1,0 +1,105 @@
+"""Batched channel model and protocol primitives.
+
+Mirrors the reference's key generation / error injection / syndrome semantics
+(reference: src/array_and_matrix_operations.cpp:889-950) for a whole batch of
+Monte-Carlo trials at once:
+
+  * Alice keys: uniform bits per frame.
+  * Bob keys: Alice's key with an **exact** count of ``floor(N * QBER)``
+    errors at uniformly random distinct positions per frame (the reference
+    shuffles a position vector; we rank i.i.d. uniforms, which induces the
+    same uniform distribution over position subsets).
+  * Syndrome: XOR of key bits over each check row, computed in the
+    degree-grouped layout as a gather + parity reduction.
+
+PRNG discipline: jax threefry keys, one key per (combination, trial-chunk),
+folded from the config's simulation seed — deterministic and
+counter-based like the reference's per-trial Xoshiro seeding
+(src/simulation.cpp:713-719), but TPU-native (no sequential stream).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from qkd_ldpc_v_tpu.models.layout import EdgeLayout
+
+
+def exact_error_count(num_bits: int, qber: float) -> int:
+    """floor(N * QBER) (reference: src/array_and_matrix_operations.cpp:913)."""
+    return int(num_bits * qber)
+
+
+def generate_keys(key: jax.Array, batch: int, num_bits: int) -> jax.Array:
+    """Alice's keys: uniform bits, shape [batch, num_bits] int8."""
+    return jax.random.bernoulli(key, 0.5, (batch, num_bits)).astype(jnp.int8)
+
+
+def inject_errors(
+    key: jax.Array, alice: jax.Array, num_errors: jax.Array | int
+) -> jax.Array:
+    """Bob's keys: flip exactly ``num_errors`` distinct positions per frame.
+
+    Positions are the ranks of the smallest i.i.d. uniforms — a uniformly
+    random subset of exactly that size, matching the reference's shuffled
+    position vector (src/array_and_matrix_operations.cpp:917-931).
+    """
+    batch, n = alice.shape
+    u = jax.random.uniform(key, (batch, n))
+    # Threshold at the num_errors-th smallest value per frame.
+    su = jnp.sort(u, axis=1)
+    ne = jnp.asarray(num_errors, dtype=jnp.int32)
+    kth = jnp.where(
+        ne > 0,
+        jnp.take_along_axis(
+            su, jnp.broadcast_to(jnp.maximum(ne - 1, 0), (batch,))[:, None], axis=1
+        )[:, 0],
+        -1.0,
+    )
+    flips = (u <= kth[:, None]).astype(jnp.int8)
+    return alice ^ flips
+
+
+def llr_from_bits(bits: jax.Array, qber, dtype=jnp.float32) -> jax.Array:
+    """Channel LLRs: +/- log((1-q)/q) by Bob's bit value
+    (reference: src/qkd_ldpc_algorithm.cpp:1043-1049)."""
+    log_p = jnp.log((1.0 - qber) / qber).astype(dtype)
+    return jnp.where(bits == 1, -log_p, log_p).astype(dtype)
+
+
+def syndrome_internal(layout: EdgeLayout, bits_int: jax.Array) -> jax.Array:
+    """Syndrome in internal (degree-sorted) check order.
+
+    bits_int: [batch, N] int8 in internal bit order -> [batch, M] int8.
+    """
+    edges = jnp.take(bits_int, jnp.asarray(layout.check_edge_bit), axis=1)
+    parts = []
+    for g in layout.check_groups:
+        size = g.count * g.degree
+        grp = edges[:, g.edge_offset : g.edge_offset + size].reshape(
+            bits_int.shape[0], g.count, g.degree
+        )
+        parts.append(jnp.sum(grp, axis=-1, dtype=jnp.int32) & 1)
+    return jnp.concatenate(parts, axis=1).astype(jnp.int8)
+
+
+def calculate_syndrome(layout: EdgeLayout, bits_ext: jax.Array) -> jax.Array:
+    """Syndrome in external check order for keys in external bit order
+    (reference: src/array_and_matrix_operations.cpp:936-950)."""
+    bits_int = jnp.take(bits_ext, jnp.asarray(layout.bit_order), axis=1)
+    syn_int = syndrome_internal(layout, bits_int)
+    return jnp.take(syn_int, jnp.asarray(layout.check_inv), axis=1)
+
+
+def trial_keys(seed: int, sim_number: int, chunk_index: int) -> jax.Array:
+    """Derive the (alice, errors, punctured) PRNG keys for one decode chunk.
+
+    Counter-based analogue of the reference's `seeds[n] + curr_sim` per-trial
+    discipline (src/simulation.cpp:743).
+    """
+    base = jax.random.PRNGKey(seed)
+    k = jax.random.fold_in(jax.random.fold_in(base, sim_number), chunk_index)
+    return jax.random.split(k, 3)

@@ -1,0 +1,48 @@
+"""Piecewise-linear tanh/atanh approximations for the SPA-LIN-APPROX decoder.
+
+Same segment boundaries and coefficients as the reference
+(reference: src/qkd_ldpc_algorithm.cpp:146-172). Vectorized with
+``jnp.select`` — on TPU this compiles to a short chain of VPU selects.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_TANH_BOUNDS = (0.5, 0.9, 1.2, 1.75, 2.5, 3.5, 8.0)
+_TANH_COEFFS = (
+    (0.9242, 0.0),
+    (0.6355, 0.1444),
+    (0.3912, 0.3642),
+    (0.1958, 0.5986),
+    (0.0603, 0.8358),
+    (0.0115, 0.9577),
+    (0.0004, 0.9967),
+)
+
+_ATANH_BOUNDS = (0.7, 0.9, 0.999)
+_ATANH_COEFFS = (
+    (1.196, -0.0323),
+    (2.9187, -1.214),
+    (10.8717, -8.3717),
+    (2510.9, -2505.9),
+)
+
+
+def tanh_lin_approx(x: jnp.ndarray) -> jnp.ndarray:
+    """8-segment tanh approximation (|x| >= 8 saturates to 1)."""
+    ax = jnp.abs(x)
+    conds = [ax < b for b in _TANH_BOUNDS]
+    vals = [a * ax + b for a, b in _TANH_COEFFS]
+    res = jnp.select(conds, vals, jnp.ones_like(ax))
+    return jnp.where(x < 0, -res, res)
+
+
+def atanh_lin_approx(x: jnp.ndarray) -> jnp.ndarray:
+    """4-segment atanh approximation (last segment extrapolates linearly)."""
+    ax = jnp.abs(x)
+    conds = [ax < b for b in _ATANH_BOUNDS]
+    vals = [a * ax + b for a, b in _ATANH_COEFFS[:-1]]
+    a_last, b_last = _ATANH_COEFFS[-1]
+    res = jnp.select(conds, vals, a_last * ax + b_last)
+    return jnp.where(x < 0, -res, res)

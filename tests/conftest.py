@@ -7,7 +7,10 @@ oracle-parity tests (the reference decodes in double precision).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this box pins JAX_PLATFORMS=axon (TPU tunnel) in the environment and
+# pre-imports jax from a sitecustomize hook, so plain setdefault is not
+# enough — override both the env var and the live config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +20,7 @@ os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

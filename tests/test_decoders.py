@@ -1,0 +1,154 @@
+"""Batched JAX decoders vs the sequential NumPy oracle: exact agreement of
+decisions, convergence flags, and iteration counts in f64 across all six
+algorithms, with and without the message-LLR threshold."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qkd_ldpc_v_tpu.config import DecodingAlgorithm
+from qkd_ldpc_v_tpu.models.layout import compile_layout
+from qkd_ldpc_v_tpu.ops.channel import calculate_syndrome
+from qkd_ldpc_v_tpu.ops.decoders import get_decoder
+from tests.oracle import calculate_syndrome as oracle_syndrome
+from tests.oracle import decode_oracle
+
+ALGS = list(DecodingAlgorithm)
+FACTORS = {
+    DecodingAlgorithm.SPA: (1.0, 1.0),
+    DecodingAlgorithm.SPA_APPROX: (1.0, 1.0),
+    DecodingAlgorithm.NMSA: (0.8, 1.0),
+    DecodingAlgorithm.OMSA: (0.25, 1.0),
+    DecodingAlgorithm.ANMSA: (0.88, 0.5),
+    DecodingAlgorithm.AOMSA: (0.3, 0.6),
+}
+
+
+def make_case(matrix, batch, qber, seed):
+    rng = np.random.default_rng(seed)
+    n = matrix.num_bit_nodes
+    alice = rng.integers(0, 2, size=(batch, n)).astype(np.int8)
+    num_errors = int(n * qber)
+    bob = alice.copy()
+    for b in range(batch):
+        pos = rng.permutation(n)[:num_errors]
+        bob[b, pos] ^= 1
+    q = num_errors / n
+    log_p = np.log((1.0 - q) / q)
+    llr = np.where(bob == 1, -log_p, log_p).astype(np.float64)
+    return alice, bob, llr, q
+
+
+@pytest.mark.parametrize("alg", ALGS)
+@pytest.mark.parametrize("use_threshold", [False, True])
+def test_matches_oracle(small_matrix, alg, use_threshold):
+    layout = compile_layout(small_matrix)
+    batch = 6
+    alice, bob, llr, q = make_case(small_matrix, batch, qber=0.04, seed=int(alg) * 10)
+    syn = np.asarray(calculate_syndrome(layout, jnp.asarray(alice)))
+    primary, secondary = FACTORS[alg]
+    max_iters = 60
+    thr = 30.0
+
+    decode = get_decoder(layout, alg, max_iters, use_threshold, dtype=jnp.float64)
+    res = decode(
+        jnp.asarray(llr), jnp.asarray(syn), primary, secondary, thr
+    )
+    dec = np.asarray(res.decision)
+    match = np.asarray(res.syndromes_match)
+    iters = np.asarray(res.iterations)
+
+    for b in range(batch):
+        o_dec, o_match, o_iters = decode_oracle(
+            small_matrix,
+            llr[b],
+            syn[b],
+            int(alg),
+            max_iters,
+            primary,
+            secondary,
+            thr,
+            use_threshold,
+        )
+        assert o_match == bool(match[b]), f"frame {b}: match mismatch"
+        assert o_iters == int(iters[b]), (
+            f"frame {b}: iterations {int(iters[b])} vs oracle {o_iters}"
+        )
+        np.testing.assert_array_equal(
+            dec[b], o_dec, err_msg=f"frame {b}: decision mismatch"
+        )
+
+
+@pytest.mark.parametrize("alg", ALGS)
+def test_zero_errors_converges_immediately(small_matrix, alg):
+    """With Bob == Alice the initial decision already satisfies the syndrome:
+    every algorithm must converge at iteration 1 with keys intact."""
+    layout = compile_layout(small_matrix)
+    rng = np.random.default_rng(99)
+    n = small_matrix.num_bit_nodes
+    batch = 4
+    alice = rng.integers(0, 2, size=(batch, n)).astype(np.int8)
+    q = 0.02  # LLR magnitude only; no actual errors injected
+    log_p = np.log((1 - q) / q)
+    llr = np.where(alice == 1, -log_p, log_p).astype(np.float64)
+    syn = np.asarray(calculate_syndrome(layout, jnp.asarray(alice)))
+    primary, secondary = FACTORS[alg]
+    decode = get_decoder(layout, alg, 50, False, dtype=jnp.float64)
+    res = decode(jnp.asarray(llr), jnp.asarray(syn), primary, secondary, 0.0)
+    assert bool(np.all(np.asarray(res.syndromes_match)))
+    assert np.all(np.asarray(res.iterations) == 1)
+    np.testing.assert_array_equal(np.asarray(res.decision), alice)
+
+
+def test_textbook_johnson_spa(johnson_matrix):
+    """Johnson, *Introducing LDPC Codes*, example 2.5 — the reference's
+    library example (example/qkd_ldpc_example.cpp:28-33): one flipped bit,
+    SPA with threshold 100, must recover Alice's word."""
+    layout = compile_layout(johnson_matrix)
+    alice = np.array([[0, 0, 1, 0, 1, 1]], dtype=np.int8)
+    bob = np.array([[1, 0, 1, 0, 1, 1]], dtype=np.int8)
+    qber = 0.2
+    log_p = np.log((1 - qber) / qber)
+    llr = np.where(bob == 1, -log_p, log_p).astype(np.float64)
+    syn = np.asarray(calculate_syndrome(layout, jnp.asarray(alice)))
+    decode = get_decoder(layout, DecodingAlgorithm.SPA, 100, True, dtype=jnp.float64)
+    res = decode(jnp.asarray(llr), jnp.asarray(syn), 1.0, 1.0, 100.0)
+    assert bool(res.syndromes_match[0])
+    np.testing.assert_array_equal(np.asarray(res.decision)[0], alice[0])
+    # The oracle agrees on the trajectory.
+    o_dec, o_match, o_iters = decode_oracle(
+        johnson_matrix, llr[0], syn[0], 0, 100, 1.0, 1.0, 100.0, True
+    )
+    assert o_match
+    assert int(res.iterations[0]) == o_iters
+
+
+def test_syndrome_matches_oracle(small_matrix):
+    layout = compile_layout(small_matrix)
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 2, size=(3, small_matrix.num_bit_nodes)).astype(np.int8)
+    ours = np.asarray(calculate_syndrome(layout, jnp.asarray(bits)))
+    for b in range(3):
+        ref = oracle_syndrome(small_matrix.check_nodes, bits[b])
+        np.testing.assert_array_equal(ours[b], ref)
+
+
+@pytest.mark.parametrize("alg", ALGS)
+def test_f32_statistically_close(medium_matrix, alg):
+    """f32 production mode: convergence outcomes should agree with f64 on
+    the overwhelming majority of frames (identical seeds)."""
+    layout = compile_layout(medium_matrix)
+    batch = 16
+    alice, bob, llr, q = make_case(medium_matrix, batch, qber=0.03, seed=123)
+    syn = np.asarray(calculate_syndrome(layout, jnp.asarray(alice)))
+    primary, secondary = FACTORS[alg]
+    d64 = get_decoder(layout, alg, 80, True, dtype=jnp.float64)
+    d32 = get_decoder(layout, alg, 80, True, dtype=jnp.float32)
+    r64 = d64(jnp.asarray(llr), jnp.asarray(syn), primary, secondary, 100.0)
+    r32 = d32(
+        jnp.asarray(llr, dtype=np.float32), jnp.asarray(syn), primary, secondary, 100.0
+    )
+    agree = np.mean(
+        np.asarray(r64.syndromes_match) == np.asarray(r32.syndromes_match)
+    )
+    assert agree >= 0.9
