@@ -1,0 +1,119 @@
+"""Headline benchmark: decoded 10k-bit frames per second at QBER 0.03.
+
+Operating point (BASELINE.md north star): N=10240 alist code, NMSA decoder
+(alpha = 0.8), iteration cap 100, QBER 0.03, batch decode on one chip.
+vs_baseline is measured against the north-star target of 1e5 frames/s/chip
+(the reference publishes no numbers of its own — see BASELINE.md).
+
+Prints exactly one JSON line on stdout; diagnostics go to stderr.
+
+Env knobs: BENCH_BATCH (default 2048), BENCH_STEPS (default 3),
+BENCH_MATRIX (path to an alist matrix overriding the default asset).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REFERENCE_MATRIX = Path(
+    "/root/reference/sparse_matrices/matrices_alist_10k_all/"
+    "(N=10240,M=2841,R=0.72,CW=4,SEED=666).mtrx"
+)
+TARGET_FRAMES_PER_S = 1e5  # BASELINE.md north star, v5e chip
+QBER = 0.03
+ALPHA = 0.8
+MAX_ITERATIONS = 100
+
+
+def load_matrix():
+    from qkd_ldpc_v_tpu.models.generator import generate_regular_ldpc
+    from qkd_ldpc_v_tpu.models.hmatrix import read_sparse_matrix_alist
+
+    override = os.environ.get("BENCH_MATRIX")
+    path = Path(override) if override else REFERENCE_MATRIX
+    if path.exists():
+        return read_sparse_matrix_alist(path)
+    print(f"bench: {path} missing; generating equivalent code", file=sys.stderr)
+    return generate_regular_ldpc(
+        num_bits=10240, num_checks=2841, column_weight=4, seed=666
+    )
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from qkd_ldpc_v_tpu.config import Config, DecodingAlgorithm, RQBERRange
+    from qkd_ldpc_v_tpu.ops.channel import trial_keys
+    from qkd_ldpc_v_tpu.rate_adapt import HMatrixParams
+    from qkd_ldpc_v_tpu.simulation import get_step, make_frame_plan
+
+    batch = int(os.environ.get("BENCH_BATCH", "2048"))
+    steps = int(os.environ.get("BENCH_STEPS", "3"))
+
+    matrix = load_matrix()
+    n = matrix.num_bit_nodes
+    num_errors = int(n * QBER)
+
+    cfg = Config(
+        trials_number=batch,
+        simulation_seed=123,
+        decoding_algorithm=DecodingAlgorithm.NMSA,
+        decoding_alg_max_iterations=MAX_ITERATIONS,
+        r_qber_ranges=(RQBERRange(0.99, QBER, QBER, 0.01),),
+        batch_size=batch,
+    )
+    step = get_step(matrix, cfg, batch)
+    pos_class, payload_gather = make_frame_plan(n, HMatrixParams())
+    pos_class = jnp.asarray(pos_class)
+    payload_gather = jnp.asarray(payload_gather)
+
+    def run(chunk_index: int):
+        ka, ke, kp = trial_keys(cfg.simulation_seed, 0, chunk_index)
+        return step(
+            ka, ke, kp,
+            jnp.float32(num_errors / n), jnp.int32(num_errors),
+            jnp.float32(ALPHA), jnp.float32(1.0), jnp.float32(0.0),
+            pos_class, payload_gather,
+        )
+
+    dev = jax.devices()[0]
+    print(f"bench: device={dev.platform}:{dev.device_kind} "
+          f"N={n} E={matrix.num_edges} batch={batch}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    syn, keys, iters = jax.block_until_ready(run(0))
+    compile_s = time.perf_counter() - t0
+    fer = 1.0 - float(np.asarray(keys).mean())
+    mean_iters = float(np.asarray(iters)[np.asarray(syn)].mean())
+    print(
+        f"bench: warmup {compile_s:.1f}s FER={fer:.4f} "
+        f"mean_iters={mean_iters:.1f}", file=sys.stderr,
+    )
+    if fer > 0.1:
+        print("bench: WARNING high FER — operating point off", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for i in range(1, steps + 1):
+        out = run(i)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    frames_per_s = steps * batch / elapsed
+
+    print(json.dumps({
+        "metric": "decoded_10k_frames_per_s_qber0.03",
+        "value": round(frames_per_s, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_s / TARGET_FRAMES_PER_S, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,161 @@
+"""Data-parallel trial execution over a device mesh.
+
+Design (TPU-native replacement for the reference's thread pool,
+src/simulation.cpp:693-768):
+
+  * one mesh axis ``data`` spans all chips (ICI within a slice, DCN across
+    hosts after ``jax.distributed.initialize``);
+  * the per-device program is *identical* to the single-chip trial step
+    (simulation._build_step): key generation, exact-count error injection,
+    frame extension, batched decode — all purely batch-local, so the decode
+    itself needs **zero** cross-device communication;
+  * each device derives an independent PRNG stream by folding its
+    ``data``-axis index into the trial keys (the mesh analogue of the
+    reference's per-trial seed offsets, src/simulation.cpp:743);
+  * per-frame outcomes come back sharded over ``data``; scalar statistics
+    are reduced on device with ``psum`` so only a handful of numbers cross
+    to the host (see ``sharded_step``'s reduce mode).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from qkd_ldpc_v_tpu.config import Config
+from qkd_ldpc_v_tpu.models.hmatrix import HMatrix
+from qkd_ldpc_v_tpu.simulation import _build_step
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up (TPU pods / CPU fleets): thin wrapper over
+    ``jax.distributed.initialize`` so callers need no jax.distributed import.
+    On single-process runs this is a no-op."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_data_mesh(
+    n_devices: Optional[int] = None, devices: Optional[Sequence] = None
+) -> Mesh:
+    """1-D ``data`` mesh over the first ``n_devices`` devices (default all)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    import numpy as np
+
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def sharded_step(
+    matrix: HMatrix,
+    cfg: Config,
+    global_batch: int,
+    mesh: Mesh,
+) -> Callable:
+    """Build the mesh-sharded trial step.
+
+    Returns a jitted function with the same signature as the single-device
+    step but decoding ``global_batch`` frames spread over ``mesh``'s ``data``
+    axis. ``global_batch`` must divide evenly (callers round up; surplus
+    frames are sliced off host-side exactly like a short final chunk).
+    """
+    n_dev = mesh.devices.size
+    if global_batch % n_dev:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by mesh size {n_dev}"
+        )
+    local = _build_step(
+        matrix,
+        cfg.decoding_algorithm,
+        cfg.decoding_alg_max_iterations,
+        cfg.enable_msg_llr_threshold,
+        cfg.enable_code_rate_adaptation,
+        global_batch // n_dev,
+        cfg.dtype,
+    )
+
+    def worker(ka, ke, kp, qber, num_errors, primary, secondary, threshold,
+               pos_class, payload_gather):
+        idx = jax.lax.axis_index("data")
+        ka = jax.random.fold_in(ka, idx)
+        ke = jax.random.fold_in(ke, idx)
+        kp = jax.random.fold_in(kp, idx)
+        return local(
+            ka, ke, kp, qber, num_errors, primary, secondary, threshold,
+            pos_class, payload_gather,
+        )
+
+    rep = P()  # replicated scalars / index vectors
+    fn = shard_map(
+        worker,
+        mesh=mesh,
+        in_specs=(rep,) * 10,
+        out_specs=(P("data"), P("data"), P("data")),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def mesh_step_factory(mesh: Mesh) -> Callable:
+    """A ``step_factory`` for simulation.run_combination that shards each
+    combination's trial batches over ``mesh``. Rounds the requested batch up
+    to a multiple of the mesh size (the driver slices surplus frames off)."""
+    cache: dict = {}
+
+    def factory(matrix: HMatrix, cfg: Config, batch: int) -> Callable:
+        n_dev = mesh.devices.size
+        global_batch = ((batch + n_dev - 1) // n_dev) * n_dev
+        key = (
+            id(matrix),
+            cfg.decoding_algorithm,
+            cfg.decoding_alg_max_iterations,
+            cfg.enable_msg_llr_threshold,
+            cfg.enable_code_rate_adaptation,
+            global_batch,
+            cfg.dtype,
+        )
+        fn = cache.get(key)
+        if fn is None:
+            fn = sharded_step(matrix, cfg, global_batch, mesh)
+            cache[key] = fn
+        return fn
+
+    return factory
+
+
+def psum_stats(syndromes_match, keys_match, iterations, axis_name: str = "data"):
+    """On-device statistic reduction for fully-distributed aggregation:
+    returns (n_success_dec, n_success_ldpc, iter_sum, iter_sumsq, iter_min,
+    iter_max) reduced over the mesh axis — the psum/pmin/pmax analogue of the
+    reference's host-side aggregation loop (src/simulation.cpp:587-624).
+    Call from inside a shard_map worker when per-frame arrays are too large
+    to gather (multi-host campaigns)."""
+    ok = syndromes_match
+    okf = ok.astype(jnp.float64) if jax.config.jax_enable_x64 else ok.astype(jnp.float32)
+    it = iterations.astype(okf.dtype)
+    big = jnp.asarray(jnp.iinfo(jnp.int32).max, it.dtype)
+    n_dec = jax.lax.psum(jnp.sum(okf), axis_name)
+    n_ldpc = jax.lax.psum(
+        jnp.sum(okf * keys_match.astype(okf.dtype)), axis_name
+    )
+    it_sum = jax.lax.psum(jnp.sum(jnp.where(ok, it, 0.0)), axis_name)
+    it_sumsq = jax.lax.psum(jnp.sum(jnp.where(ok, it * it, 0.0)), axis_name)
+    it_min = jax.lax.pmin(jnp.min(jnp.where(ok, it, big)), axis_name)
+    it_max = jax.lax.pmax(jnp.max(jnp.where(ok, it, -1.0)), axis_name)
+    return n_dec, n_ldpc, it_sum, it_sumsq, it_min, it_max

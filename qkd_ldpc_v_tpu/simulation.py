@@ -393,14 +393,10 @@ def _build_step(
 _STEP_CACHE: dict = {}
 
 
-def get_step(
-    matrix: HMatrix,
-    cfg: Config,
-    batch: int,
-    jit_wrapper: Optional[Callable] = None,
-) -> Callable:
-    """Memoized jitted trial step. ``jit_wrapper`` lets the distributed
-    driver substitute a mesh-sharded jit (see parallel/driver.py)."""
+def get_step(matrix: HMatrix, cfg: Config, batch: int) -> Callable:
+    """Memoized single-device jitted trial step (the default step factory;
+    the distributed factory in parallel/driver.py shards the same step over
+    a data mesh)."""
     key = (
         id(matrix),
         cfg.decoding_algorithm,
@@ -409,20 +405,20 @@ def get_step(
         cfg.enable_code_rate_adaptation,
         batch,
         cfg.dtype,
-        id(jit_wrapper),
     )
     fn = _STEP_CACHE.get(key)
     if fn is None:
-        fn = _build_step(
-            matrix,
-            cfg.decoding_algorithm,
-            cfg.decoding_alg_max_iterations,
-            cfg.enable_msg_llr_threshold,
-            cfg.enable_code_rate_adaptation,
-            batch,
-            cfg.dtype,
+        fn = jax.jit(
+            _build_step(
+                matrix,
+                cfg.decoding_algorithm,
+                cfg.decoding_alg_max_iterations,
+                cfg.enable_msg_llr_threshold,
+                cfg.enable_code_rate_adaptation,
+                batch,
+                cfg.dtype,
+            )
         )
-        fn = (jit_wrapper or jax.jit)(fn)
         _STEP_CACHE[key] = fn
     return fn
 
@@ -511,7 +507,7 @@ def run_combination(
     cfg: Config,
     sim_number: int,
     progress: Optional[Callable[[int], None]] = None,
-    jit_wrapper: Optional[Callable] = None,
+    step_factory: Optional[Callable[[HMatrix, Config, int], Callable]] = None,
 ) -> SimResult:
     """Execute all trials of one combination as device-wide batches.
 
@@ -531,7 +527,7 @@ def run_combination(
     trials = cfg.trials_number
     batch = cfg.batch_size if cfg.batch_size > 0 else trials
     batch = min(batch, trials)
-    step = get_step(matrix, cfg, batch, jit_wrapper)
+    step = (step_factory or get_step)(matrix, cfg, batch)
 
     pos_class, payload_gather = make_frame_plan(n_bits, comb.matrix_params)
     pos_class_d = jnp.asarray(pos_class)
@@ -608,7 +604,7 @@ def qkd_ldpc_batch_simulation(
     sim_inputs: Sequence[SimInput],
     cfg: Config,
     progress: Optional[Callable[[int, int], None]] = None,
-    jit_wrapper: Optional[Callable] = None,
+    step_factory: Optional[Callable[[HMatrix, Config, int], Callable]] = None,
 ) -> List[SimResult]:
     """Run the full sweep (reference: src/simulation.cpp:693-768).
 
@@ -624,7 +620,7 @@ def qkd_ldpc_batch_simulation(
         for comb in sim_in.combinations:
             res = run_combination(
                 sim_in.matrix, comb, cfg, sim_number,
-                progress=cb, jit_wrapper=jit_wrapper,
+                progress=cb, step_factory=step_factory,
             )
             res.matrix_filename = sim_in.matrix_path.name
             results.append(res)

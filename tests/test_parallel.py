@@ -1,0 +1,108 @@
+"""Distribution-layer tests on the virtual 8-device CPU mesh
+(conftest forces ``xla_force_host_platform_device_count=8``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qkd_ldpc_v_tpu.config import Config, DecodingAlgorithm, RQBERRange
+from qkd_ldpc_v_tpu.parallel import make_data_mesh, mesh_step_factory, sharded_step
+from qkd_ldpc_v_tpu.parallel.driver import psum_stats
+from qkd_ldpc_v_tpu.rate_adapt import HMatrixParams
+from qkd_ldpc_v_tpu.simulation import (
+    SimCombination,
+    ScalingFactors,
+    run_combination,
+)
+
+
+def _cfg(**kw):
+    defaults = dict(
+        trials_number=32,
+        simulation_seed=9,
+        decoding_algorithm=DecodingAlgorithm.SPA,
+        decoding_alg_max_iterations=40,
+        r_qber_ranges=(RQBERRange(0.99, 0.02, 0.02, 0.01),),
+    )
+    defaults.update(kw)
+    return Config(**defaults)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_data_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_step_outputs_sharded(medium_matrix):
+    mesh = make_data_mesh()
+    cfg = _cfg()
+    step = sharded_step(medium_matrix, cfg, global_batch=32, mesh=mesh)
+    from qkd_ldpc_v_tpu.ops.channel import trial_keys
+    from qkd_ldpc_v_tpu.simulation import make_frame_plan
+
+    ka, ke, kp = trial_keys(9, 0, 0)
+    pos_class, gather = make_frame_plan(512, HMatrixParams())
+    syn, keys, iters = step(
+        ka, ke, kp,
+        jnp.float32(0.02), jnp.int32(10),
+        jnp.float32(1.0), jnp.float32(1.0), jnp.float32(0.0),
+        jnp.asarray(pos_class), jnp.asarray(gather),
+    )
+    assert syn.shape == (32,)
+    # sharded over the data axis: 8 shards of 4 frames
+    assert len(syn.sharding.device_set) == 8
+    # sanity: at QBER 0.02 most frames decode
+    assert int(jnp.sum(syn)) > 16
+
+
+def test_run_combination_with_mesh_factory(medium_matrix):
+    cfg = _cfg(trials_number=32)
+    mesh = make_data_mesh()
+    comb = SimCombination(0.02, HMatrixParams(), ScalingFactors())
+    res = run_combination(
+        medium_matrix, comb, cfg, sim_number=0,
+        step_factory=mesh_step_factory(mesh),
+    )
+    assert res.ratio_trials_success_ldpc > 0.7
+    assert 0 < res.iter_success_mean <= 40
+
+
+def test_mesh_factory_rounds_up_batch(medium_matrix):
+    """trials=30 on 8 devices -> global batch 32, surplus sliced off."""
+    cfg = _cfg(trials_number=30)
+    mesh = make_data_mesh()
+    comb = SimCombination(0.02, HMatrixParams(), ScalingFactors())
+    res = run_combination(
+        medium_matrix, comb, cfg, sim_number=0,
+        step_factory=mesh_step_factory(mesh),
+    )
+    assert 0.0 <= res.ratio_trials_success_ldpc <= 1.0
+
+
+def test_psum_stats_matches_host_aggregation():
+    mesh = make_data_mesh()
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    rng = np.random.default_rng(0)
+    syn = rng.random(64) < 0.8
+    keys = syn & (rng.random(64) < 0.9)
+    iters = rng.integers(1, 40, 64)
+
+    fn = shard_map(
+        lambda s, k, i: psum_stats(s, k, i),
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=(P(),) * 6,
+        check_vma=False,
+    )
+    n_dec, n_ldpc, it_sum, it_sumsq, it_min, it_max = jax.device_get(
+        fn(jnp.asarray(syn), jnp.asarray(keys), jnp.asarray(iters))
+    )
+    assert n_dec == syn.sum()
+    assert n_ldpc == (syn & keys).sum()
+    assert it_sum == pytest.approx(iters[syn].sum())
+    assert it_sumsq == pytest.approx((iters[syn] ** 2).sum())
+    assert it_min == iters[syn].min()
+    assert it_max == iters[syn].max()
