@@ -47,6 +47,10 @@ def load_matrix():
 
 def main() -> int:
     import jax
+
+    from qkd_ldpc_v_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from qkd_ldpc_v_tpu.config import Config, DecodingAlgorithm, RQBERRange

@@ -23,7 +23,11 @@ from qkd_ldpc_v_tpu.simulation import (
     qkd_ldpc_batch_simulation,
     write_file,
 )
-from qkd_ldpc_v_tpu.utils import format_duration, get_file_paths_in_directory
+from qkd_ldpc_v_tpu.utils import (
+    enable_compilation_cache,
+    format_duration,
+    get_file_paths_in_directory,
+)
 
 CONFIG_HELP = """\
 CONFIG FILE REFERENCE (JSON; one file = one simulation run)
@@ -166,6 +170,7 @@ def main(argv=None) -> int:
         return 0
 
     logging.basicConfig(level=logging.WARNING, format="%(message)s")
+    enable_compilation_cache()
     try:
         config_paths = get_file_paths_in_directory(args.configs, ".json")
         if not config_paths:

@@ -4,28 +4,41 @@ All six reference algorithms share one message-passing skeleton
 (reference: src/qkd_ldpc_algorithm.cpp:3-1029 — six functions differing only
 in the check-node update and, for the adaptive pair, where convergence is
 detected). Here the skeleton is batched over frames and expressed on the
-degree-grouped edge layout:
+degree-grouped edge layout in **batch-minor** orientation: message state is
+``[E, B]`` (edges major, frames minor) so that
 
-  per iteration (everything static-shape, inside one ``lax.while_loop``):
-    1. check pass: for each check degree group, a contiguous reshape of the
-       flat [B, E] message array -> [B, count, degree]; per-row reduction
-       (tanh-product or two-minimum/sign-parity) -> extrinsic messages.
-    2. one static gather regroups extrinsics to bit-major order.
-    3. bit pass: per bit degree group, total LLR, hard decision, and new
-       bit->check messages (total minus own message).
-    4. one static gather regroups messages back to check-major order.
-    5. per-frame convergence masks: frames whose decision syndrome matches
-       Alice's freeze their decision and record the first-success iteration;
-       the loop exits when every frame is done or the cap is reached.
+  * the inter-enumeration regroup — the only irregular memory access in the
+    decoder — is a *row* gather (`take(..., axis=0)`) moving contiguous
+    B-sized lines, which the TPU executes at near-HBM bandwidth, unlike an
+    element gather along a minor axis;
+  * each degree group's check/bit pass is a contiguous row-slice reshaped to
+    ``[count, degree, B]`` with the reduction over the middle axis, keeping
+    the 128-lane batch dimension innermost for the VPU.
 
-Exact reference semantics preserved per frame: hard-decision tie-break
-``total <= 0 -> 1`` (:80-83), two-minimum tie handling (ties at the minimum
-emit min2 == min1, :389-396), min-sum sign conventions (parity counts m < 0;
-exclusion sign treats 0 as negative, :383/:402), OMSA clamp-at-zero (:574),
-adaptive per-check factor selection from the *previous* decision's syndrome
-with convergence detected inside the check pass (:745-776), and the optional
-message-LLR threshold clamp applied at the reference's exact program points
-(:73-74, :122-123).
+Per iteration (everything static-shape, inside one ``lax.while_loop``):
+  1. check pass per degree group (tanh-product or two-minimum/sign-parity),
+  2. one row gather regroups extrinsics to bit-major order,
+  3. bit pass per degree group: total LLR, hard decision, new messages,
+  4. one row gather back to check-major order,
+  5. per-frame convergence masks (frames whose decision syndrome matches
+     Alice's freeze their decision and record the first-success iteration).
+
+Two accumulation modes share the code path:
+  * fast mode (float32/bfloat16): vectorized reductions; order differs from
+    the C++ reference, which is irrelevant at these precisions' FER.
+  * exact mode (float64): statically-unrolled sequential accumulation
+    matching the reference's operation order bit-for-bit (IEEE adds are not
+    associative; messages landing exactly on 0.0 flip sign under
+    reassociation and cascade through min-sum sign products).
+
+Exact reference semantics preserved per frame in both modes: hard-decision
+tie-break ``total <= 0 -> 1`` (:80-83), two-minimum tie handling (ties at
+the minimum emit min2 == min1, :389-396), min-sum sign conventions (parity
+counts m < 0; exclusion sign treats 0 as negative, :383/:402), OMSA
+clamp-at-zero (:574), adaptive per-check factor selection from the
+*previous* decision's syndrome with convergence detected inside the check
+pass (:745-776), and the optional message-LLR threshold clamp applied at the
+reference's exact program points (:73-74, :122-123).
 """
 
 from __future__ import annotations
@@ -50,53 +63,52 @@ class DecodeResult(NamedTuple):
 
 
 def _group_views(flat: jax.Array, groups):
-    """Yield (group, [B, count, degree]) contiguous views of a flat [B, E]."""
-    b = flat.shape[0]
+    """Yield (group, [count, degree, B]) contiguous views of a flat [E, B]."""
+    b = flat.shape[-1]
     for g in groups:
         size = g.count * g.degree
-        yield g, jax.lax.dynamic_slice_in_dim(flat, g.edge_offset, size, axis=1).reshape(
-            b, g.count, g.degree
+        yield g, jax.lax.dynamic_slice_in_dim(flat, g.edge_offset, size, axis=0).reshape(
+            g.count, g.degree, b
         )
 
 
 def _concat_groups(parts):
-    return jnp.concatenate(parts, axis=1)
+    return jnp.concatenate(parts, axis=0)
 
 
-def _seq_sum(init: jax.Array, terms: jax.Array) -> jax.Array:
-    """((init + t0) + t1) + ... over the last axis, statically unrolled.
+def _sum_terms(init: jax.Array, terms: jax.Array, exact: bool) -> jax.Array:
+    """init [c,B] + sum of terms [c,d,B] over the degree axis.
 
-    Matches the reference's sequential accumulation order
+    Exact mode reproduces the reference's sequential accumulation order
     (std::accumulate starting from the channel LLR,
-    src/qkd_ldpc_algorithm.cpp:78) so f64 trajectories are bit-exact: IEEE
-    adds are not associative, and messages that land exactly on 0.0 flip
-    sign under reassociation, which cascades through min-sum sign products.
-    Same op count as a reduce; XLA fuses the chain.
-    """
+    src/qkd_ldpc_algorithm.cpp:78)."""
+    if not exact:
+        return init + jnp.sum(terms, axis=1)
     acc = init
-    for s in range(terms.shape[-1]):
-        acc = acc + terms[..., s]
+    for s in range(terms.shape[1]):
+        acc = acc + terms[:, s, :]
     return acc
 
 
-def _seq_prod(init: jax.Array, terms: jax.Array) -> jax.Array:
-    """((init * t0) * t1) * ... over the last axis, statically unrolled
-    (matches the reference's sequential row product,
-    src/qkd_ldpc_algorithm.cpp:57-62)."""
+def _prod_terms(init: jax.Array, terms: jax.Array, exact: bool) -> jax.Array:
+    """init [c,B] * product of terms [c,d,B] over the degree axis (reference
+    sequential row product: src/qkd_ldpc_algorithm.cpp:57-62)."""
+    if not exact:
+        return init * jnp.prod(terms, axis=1)
     acc = init
-    for s in range(terms.shape[-1]):
-        acc = acc * terms[..., s]
+    for s in range(terms.shape[1]):
+        acc = acc * terms[:, s, :]
     return acc
 
 
 def _two_minimum(a: jax.Array, big) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """min1, min2, is_min over the last axis with the reference's sequential
-    tie semantics: a tie at the minimum makes min2 == min1
+    """min1, min2, is_min over the degree axis (axis=1) with the reference's
+    sequential tie semantics: a tie at the minimum makes min2 == min1
     (reference: src/qkd_ldpc_algorithm.cpp:381-397)."""
-    min1 = jnp.min(a, axis=-1)
-    is_min = a == min1[..., None]
-    count_min = jnp.sum(is_min, axis=-1)
-    min2_raw = jnp.min(jnp.where(is_min, big, a), axis=-1)
+    min1 = jnp.min(a, axis=1)
+    is_min = a == min1[:, None, :]
+    count_min = jnp.sum(is_min, axis=1)
+    min2_raw = jnp.min(jnp.where(is_min, big, a), axis=1)
     min2 = jnp.where(count_min >= 2, min1, min2_raw)
     return min1, min2, is_min
 
@@ -104,14 +116,15 @@ def _two_minimum(a: jax.Array, big) -> tuple[jax.Array, jax.Array, jax.Array]:
 def _minsum_check_stats(msgs: jax.Array, syn_sign: jax.Array, big):
     """Common min-sum per-check reduction.
 
-    Returns (row_sign [B,c], excl_sign [B,c,d], eabs [B,c,d]).
+    msgs [c,d,B], syn_sign [c,B] ->
+    (row_sign [c,B], excl_sign [c,d,B], eabs [c,d,B]).
     """
     a = jnp.abs(msgs)
     min1, min2, is_min = _two_minimum(a, big)
-    neg = jnp.sum(msgs < 0, axis=-1)
+    neg = jnp.sum(msgs < 0, axis=1)
     row_sign = syn_sign * jnp.where(neg % 2 == 0, 1.0, -1.0).astype(msgs.dtype)
     excl_sign = jnp.where(msgs > 0, 1.0, -1.0).astype(msgs.dtype)
-    eabs = jnp.where(is_min, min2[..., None], min1[..., None])
+    eabs = jnp.where(is_min, min2[:, None, :], min1[:, None, :])
     return row_sign, excl_sign, eabs
 
 
@@ -134,6 +147,7 @@ def make_decoder(
     dtype = jnp.dtype(dtype)
     big = jnp.finfo(dtype).max
     adaptive = algorithm.is_adaptive
+    exact = dtype == jnp.float64  # reference-parity accumulation order
 
     bit_order = jnp.asarray(layout.bit_order)
     bit_inv = jnp.asarray(layout.bit_inv)
@@ -155,43 +169,42 @@ def make_decoder(
         return x
 
     def decision_syndrome(decision_int: jax.Array) -> jax.Array:
-        """[B, N] int8 internal -> [B, M] int8 internal."""
-        edges = jnp.take(decision_int, check_edge_bit, axis=1)
+        """[N, B] int8 internal -> [M, B] int8 internal."""
+        edges = jnp.take(decision_int, check_edge_bit, axis=0)
         parts = []
         for g, grp in _group_views(edges, check_groups):
-            parts.append(jnp.sum(grp, axis=-1, dtype=jnp.int32) & 1)
+            parts.append(jnp.sum(grp, axis=1, dtype=jnp.int32) & 1)
         return _concat_groups(parts).astype(jnp.int8)
 
     def spa_check_pass(mbc, syn_sign, primary, secondary, dsyn_factor_unused):
         parts = []
         for g, msgs in _group_views(mbc, check_groups):
-            ss = jax.lax.dynamic_slice_in_dim(syn_sign, g.node_start, g.count, axis=1)
+            ss = jax.lax.dynamic_slice_in_dim(syn_sign, g.node_start, g.count, axis=0)
             t = tanh_fn(msgs * jnp.asarray(0.5, dtype))
-            row_prod = _seq_prod(ss, t)
-            e = 2.0 * atanh_fn(row_prod[..., None] / t)
-            parts.append(e.reshape(e.shape[0], -1).astype(dtype))
+            row_prod = _prod_terms(ss, t, exact)
+            e = 2.0 * atanh_fn(row_prod[:, None, :] / t)
+            parts.append(e.reshape(-1, e.shape[-1]).astype(dtype))
         return _concat_groups(parts)
 
     def minsum_check_pass(mbc, syn_sign, primary, secondary, factor):
-        """factor: None for NMSA/OMSA (use `primary`), or [B, M] per-check
+        """factor: None for NMSA/OMSA (use `primary`), or [M, B] per-check
         adaptive factor for ANMSA/AOMSA."""
         parts = []
         for g, msgs in _group_views(mbc, check_groups):
-            ss = jax.lax.dynamic_slice_in_dim(syn_sign, g.node_start, g.count, axis=1)
+            ss = jax.lax.dynamic_slice_in_dim(syn_sign, g.node_start, g.count, axis=0)
             row_sign, excl_sign, eabs = _minsum_check_stats(msgs, ss, big)
             if factor is None:
-                f = primary
-                f_bc = f  # scalar broadcast
+                f_bc = primary  # scalar broadcast
             else:
                 f_bc = jax.lax.dynamic_slice_in_dim(
-                    factor, g.node_start, g.count, axis=1
-                )[..., None]
+                    factor, g.node_start, g.count, axis=0
+                )[:, None, :]
             if algorithm in (DecodingAlgorithm.NMSA, DecodingAlgorithm.ANMSA):
-                e = f_bc * row_sign[..., None] * excl_sign * eabs
+                e = f_bc * row_sign[:, None, :] * excl_sign * eabs
             else:  # OMSA / AOMSA: offset and clamp at zero
                 diff = eabs - f_bc
-                e = row_sign[..., None] * excl_sign * jnp.maximum(diff, 0.0)
-            parts.append(e.reshape(e.shape[0], -1).astype(dtype))
+                e = row_sign[:, None, :] * excl_sign * jnp.maximum(diff, 0.0)
+            parts.append(e.reshape(-1, e.shape[-1]).astype(dtype))
         return _concat_groups(parts)
 
     check_pass = (
@@ -201,21 +214,21 @@ def make_decoder(
     )
 
     def bit_pass(ecb_cm, llr_int, threshold):
-        """Returns (total [B,N], decision [B,N] int8, new mbc [B,E])."""
-        ecb_bm = jnp.take(ecb_cm, to_bit_major, axis=1)
+        """Returns (total [N,B], decision [N,B] int8, new mbc [E,B])."""
+        ecb_bm = jnp.take(ecb_cm, to_bit_major, axis=0)
         totals = []
         new_parts = []
         for g, e in _group_views(ecb_bm, bit_groups):
             llr_g = jax.lax.dynamic_slice_in_dim(
-                llr_int, g.node_start, g.count, axis=1
+                llr_int, g.node_start, g.count, axis=0
             )
-            total_g = _seq_sum(llr_g, e)
+            total_g = _sum_terms(llr_g, e, exact)
             totals.append(total_g)
-            new_parts.append((total_g[..., None] - e).reshape(e.shape[0], -1))
+            new_parts.append((total_g[:, None, :] - e).reshape(-1, e.shape[-1]))
         total = _concat_groups(totals)
         decision = (total <= 0).astype(jnp.int8)
         mb_bm = clamp(_concat_groups(new_parts), threshold)
-        mbc = jnp.take(mb_bm, to_check_major, axis=1)
+        mbc = jnp.take(mb_bm, to_check_major, axis=0)
         return total, decision, mbc
 
     def decode(
@@ -226,8 +239,9 @@ def make_decoder(
         threshold=0.0,
     ) -> DecodeResult:
         batch = llr_ext.shape[0]
-        llr_int = jnp.take(llr_ext.astype(dtype), bit_order, axis=1)
-        syndrome_int = jnp.take(syndrome_ext.astype(jnp.int8), check_order, axis=1)
+        # External [B, *] -> internal batch-minor [*, B].
+        llr_int = jnp.take(llr_ext.astype(dtype), bit_order, axis=1).T
+        syndrome_int = jnp.take(syndrome_ext.astype(jnp.int8), check_order, axis=1).T
         syn_sign = jnp.where(syndrome_int == 1, -1.0, 1.0).astype(dtype)
         primary = jnp.asarray(primary, dtype)
         secondary = jnp.asarray(secondary, dtype)
@@ -235,7 +249,7 @@ def make_decoder(
 
         # Initial bit->check messages: the channel LLR of the edge's bit
         # (reference: src/qkd_ldpc_algorithm.cpp:21-29).
-        mbc0 = jnp.take(llr_int, check_edge_bit, axis=1)
+        mbc0 = jnp.take(llr_int, check_edge_bit, axis=0)
 
         decision0 = (llr_int <= 0).astype(jnp.int8)  # used by adaptive init
         converged0 = jnp.zeros((batch,), bool)
@@ -254,10 +268,10 @@ def make_decoder(
                 ecb = clamp(ecb, threshold)
                 total, new_decision, new_mbc = bit_pass(ecb, llr_int, threshold)
                 dsyn = decision_syndrome(new_decision)
-                ok = jnp.all(dsyn == syndrome_int, axis=1)
+                ok = jnp.all(dsyn == syndrome_int, axis=0)
                 newly = ok & ~converged
                 iters = jnp.where(newly, it + 1, iters)
-                frozen = jnp.where(newly[:, None], new_decision, frozen)
+                frozen = jnp.where(newly[None, :], new_decision, frozen)
                 converged = converged | ok
                 return (it + 1, new_mbc, new_decision, converged, iters, frozen)
 
@@ -269,10 +283,10 @@ def make_decoder(
                 # *previous* decision (reference: :745-776), and that same
                 # per-check syndrome drives the adaptive factor.
                 dsyn = decision_syndrome(decision)
-                ok = jnp.all(dsyn == syndrome_int, axis=1)
+                ok = jnp.all(dsyn == syndrome_int, axis=0)
                 newly = ok & ~converged
                 iters = jnp.where(newly, it + 1, iters)
-                frozen = jnp.where(newly[:, None], decision, frozen)
+                frozen = jnp.where(newly[None, :], decision, frozen)
                 converged = converged | ok
                 mismatch = dsyn != syndrome_int
                 factor = jnp.where(mismatch, secondary, primary).astype(dtype)
@@ -286,8 +300,8 @@ def make_decoder(
             cond, body, state
         )
 
-        final_decision = jnp.where(converged[:, None], frozen, decision)
-        decision_ext = jnp.take(final_decision, bit_inv, axis=1)
+        final_decision = jnp.where(converged[None, :], frozen, decision)
+        decision_ext = jnp.take(final_decision.T, bit_inv, axis=1)
         return DecodeResult(
             decision=decision_ext, syndromes_match=converged, iterations=iters
         )

@@ -150,18 +150,95 @@ def finalize_bits_to_remove(
 # ---------------------------------------------------------------------------
 
 
+def second_order_csr(matrix: HMatrix) -> tuple:
+    """Second-order neighborhoods in CSR form (flat, offsets).
+
+    N2(v) = all bits sharing a check with v, minus v (reference:
+    src/array_and_matrix_operations.cpp:975-997). Built fully vectorized:
+    each check row of degree d contributes its d*(d-1) ordered bit pairs;
+    lexsort + dedup yields per-source sorted unique neighbor lists.
+    """
+    n = matrix.num_bit_nodes
+    srcs = []
+    dsts = []
+    by_degree: dict = {}
+    for row in matrix.check_nodes:
+        by_degree.setdefault(len(row), []).append(row)
+    for d, rows in by_degree.items():
+        if d < 2:
+            continue
+        rows = np.asarray(rows, dtype=np.int32)  # [c, d]
+        a = np.broadcast_to(rows[:, :, None], (len(rows), d, d))
+        b = np.broadcast_to(rows[:, None, :], (len(rows), d, d))
+        mask = ~np.eye(d, dtype=bool)
+        srcs.append(a[:, mask].reshape(-1))
+        dsts.append(b[:, mask].reshape(-1))
+    if not srcs:
+        return (
+            np.array([], dtype=np.int32),
+            np.zeros(n + 1, dtype=np.int64),
+        )
+    src = np.concatenate(srcs)
+    dst = np.concatenate(dsts)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    keep = np.ones(len(src), dtype=bool)
+    keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+    src, dst = src[keep], dst[keep]
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(src, minlength=n), out=offsets[1:])
+    return dst.astype(np.int32), offsets
+
+
 def second_order_neighbors(matrix: HMatrix) -> List[np.ndarray]:
-    """N2(v) per bit node: all bits sharing a check with v, minus v
-    (reference: src/array_and_matrix_operations.cpp:975-997)."""
-    out = []
-    for i, checks in enumerate(matrix.bit_nodes):
-        if len(checks):
-            nbrs = np.unique(np.concatenate([matrix.check_nodes[c] for c in checks]))
-            nbrs = nbrs[nbrs != i]
-        else:
-            nbrs = np.array([], dtype=np.int32)
-        out.append(nbrs.astype(np.int32))
-    return out
+    """N2(v) per bit node as a list of sorted arrays (reference:
+    src/array_and_matrix_operations.cpp:975-997)."""
+    flat, offsets = second_order_csr(matrix)
+    return [
+        flat[offsets[i] : offsets[i + 1]] for i in range(matrix.num_bit_nodes)
+    ]
+
+
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64(state: int) -> tuple:
+    """One SplitMix64 step (state', output) — shared tie-break RNG with the
+    native library (native/qkdldpc_native.cpp)."""
+    state = (state + 0x9E3779B97F4A7C15) & _M64
+    z = state
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    return state, z ^ (z >> 31)
+
+
+def _untainted_greedy_py(flat: np.ndarray, offsets: np.ndarray, seed: int) -> np.ndarray:
+    """Pure-Python greedy, bit-identical to qkdldpc_untainted_select:
+    incremental |N2 ∩ X| counts (N2 is symmetric, so a node leaving X
+    decrements exactly its own N2 row) + SplitMix64 modulo tie-break."""
+    n = len(offsets) - 1
+    counts = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    in_x = np.ones(n, dtype=bool)
+    n_active = n
+    state = seed & _M64
+    big = np.iinfo(np.int64).max
+    out: List[int] = []
+    while n_active > 0:
+        masked = np.where(in_x, counts, big)
+        mn = masked.min()
+        candidates = np.flatnonzero(masked == mn)
+        state, r = _splitmix64(state)
+        chosen = int(candidates[r % len(candidates)])
+        out.append(chosen)
+        row = flat[offsets[chosen] : offsets[chosen + 1]]
+        removed = np.concatenate(([chosen], row[in_x[row]]))
+        in_x[removed] = False
+        n_active -= len(removed)
+        dec = np.concatenate(
+            [flat[offsets[r0] : offsets[r0 + 1]] for r0 in removed]
+        )
+        np.subtract.at(counts, dec, 1)
+    return np.array(out, dtype=np.int32)
 
 
 def select_punctured_bits_untainted(
@@ -170,41 +247,20 @@ def select_punctured_bits_untainted(
     """Greedy max-set of pairwise 'untainted' puncturable bits
     (reference: src/array_and_matrix_operations.cpp:1002-1068).
 
-    Iteratively picks a random bit with the minimum number of second-order
-    neighbors still in the candidate set X, then removes it and its whole
-    N2 from X. Vectorized with a CSR-style flat neighbor array so each
-    round is one masked segment count instead of Python set scans.
+    Iteratively picks a (seeded-random) bit with the minimum number of
+    second-order neighbors still in the candidate set X, then removes it and
+    its whole N2 from X. Runs in the native C++ library when available
+    (native/qkdldpc_native.cpp); the Python fallback is bit-identical —
+    both consume one draw from ``rng`` as the SplitMix64 tie-break seed.
     """
-    n = matrix.num_bit_nodes
-    n2 = second_order_neighbors(matrix)
-    lengths = np.array([len(a) for a in n2], dtype=np.int64)
-    offsets = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(lengths, out=offsets[1:])
-    flat = (
-        np.concatenate(n2) if offsets[-1] > 0 else np.array([], dtype=np.int32)
-    )
+    from qkd_ldpc_v_tpu import native
 
-    in_x = np.ones(n, dtype=bool)
-    punct: List[int] = []
-    while in_x.any():
-        # |N2(i) ∩ X| for all i (cheap vectorized form; only i in X used).
-        if len(flat):
-            flat_in = in_x[flat].astype(np.int64)
-            # reduceat can't take an offset == len(flat) (possible for
-            # trailing empty rows); clip, then zero empty rows explicitly.
-            starts = np.minimum(offsets[:-1], len(flat) - 1)
-            counts = np.add.reduceat(flat_in, starts)
-            counts = np.where(lengths == 0, 0, counts)
-        else:
-            counts = np.zeros(n, dtype=np.int64)
-        active = np.flatnonzero(in_x)
-        min_n = counts[active].min()
-        candidates = active[counts[active] == min_n]
-        chosen = int(candidates[rng.integers(len(candidates))])
-        punct.append(chosen)
-        in_x[chosen] = False
-        in_x[n2[chosen]] = False
-    return np.array(punct, dtype=np.int32)
+    flat, offsets = second_order_csr(matrix)
+    seed = int(rng.integers(0, 1 << 63))
+    result = native.untainted_select(flat, offsets, seed)
+    if result is None:
+        result = _untainted_greedy_py(flat, offsets, seed)
+    return result
 
 
 def get_punctured_bits_untainted(

@@ -2,8 +2,9 @@
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
-from typing import List
+from typing import List, Optional
 
 
 def get_file_paths_in_directory(directory, extension: str) -> List[Path]:
@@ -15,6 +16,26 @@ def get_file_paths_in_directory(directory, extension: str) -> List[Path]:
     if not directory.is_dir():
         raise FileNotFoundError(f"Directory does not exist: {directory}")
     return sorted(p for p in directory.iterdir() if p.suffix == extension)
+
+
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    """Point JAX at a persistent XLA compilation cache.
+
+    First TPU compiles of the decoder while-loop cost minutes on this class
+    of hardware; the cache makes every subsequent process start fast. Safe to
+    call multiple times; ``QKDLDPC_CACHE_DIR`` overrides the default
+    ``~/.cache/qkd_ldpc_v_tpu/xla``.
+    """
+    import jax
+
+    path = (
+        path
+        or os.environ.get("QKDLDPC_CACHE_DIR")
+        or os.path.expanduser("~/.cache/qkd_ldpc_v_tpu/xla")
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def format_duration(seconds: float) -> str:
