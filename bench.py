@@ -2,13 +2,16 @@
 
 Operating point (BASELINE.md north star): N=10240 alist code, NMSA decoder
 (alpha = 0.8), iteration cap 100, QBER 0.03, batch decode on one chip.
-vs_baseline is measured against the north-star target of 1e5 frames/s/chip
-(the reference publishes no numbers of its own — see BASELINE.md).
+Measures the real driver path (run_combination), including the exact
+two-phase straggler re-decode. vs_baseline is measured against the
+north-star target of 1e5 frames/s/chip (the reference publishes no numbers
+of its own — see BASELINE.md).
 
 Prints exactly one JSON line on stdout; diagnostics go to stderr.
 
 Env knobs: BENCH_BATCH (default 2048), BENCH_STEPS (default 3),
-BENCH_MATRIX (path to an alist matrix overriding the default asset).
+BENCH_MATRIX (path to an alist matrix overriding the default asset),
+BENCH_DTYPE (default float32).
 """
 
 from __future__ import annotations
@@ -18,8 +21,6 @@ import os
 import sys
 import time
 from pathlib import Path
-
-import numpy as np
 
 REFERENCE_MATRIX = Path(
     "/root/reference/sparse_matrices/matrices_alist_10k_all/"
@@ -51,64 +52,63 @@ def main() -> int:
     from qkd_ldpc_v_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    import jax.numpy as jnp
 
     from qkd_ldpc_v_tpu.config import Config, DecodingAlgorithm, RQBERRange
-    from qkd_ldpc_v_tpu.ops.channel import trial_keys
     from qkd_ldpc_v_tpu.rate_adapt import HMatrixParams
-    from qkd_ldpc_v_tpu.simulation import get_step, make_frame_plan
+    from qkd_ldpc_v_tpu.simulation import (
+        ScalingFactors,
+        SimCombination,
+        run_combination,
+    )
 
     batch = int(os.environ.get("BENCH_BATCH", "2048"))
     steps = int(os.environ.get("BENCH_STEPS", "3"))
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
 
     matrix = load_matrix()
     n = matrix.num_bit_nodes
-    num_errors = int(n * QBER)
 
-    cfg = Config(
-        trials_number=batch,
-        simulation_seed=123,
-        decoding_algorithm=DecodingAlgorithm.NMSA,
-        decoding_alg_max_iterations=MAX_ITERATIONS,
-        r_qber_ranges=(RQBERRange(0.99, QBER, QBER, 0.01),),
-        batch_size=batch,
-    )
-    step = get_step(matrix, cfg, batch)
-    pos_class, payload_gather = make_frame_plan(n, HMatrixParams())
-    pos_class = jnp.asarray(pos_class)
-    payload_gather = jnp.asarray(payload_gather)
-
-    def run(chunk_index: int):
-        ka, ke, kp = trial_keys(cfg.simulation_seed, 0, chunk_index)
-        return step(
-            ka, ke, kp,
-            jnp.float32(num_errors / n), jnp.int32(num_errors),
-            jnp.float32(ALPHA), jnp.float32(1.0), jnp.float32(0.0),
-            pos_class, payload_gather,
+    def cfg_for(trials: int) -> Config:
+        return Config(
+            trials_number=trials,
+            simulation_seed=123,
+            decoding_algorithm=DecodingAlgorithm.NMSA,
+            decoding_alg_max_iterations=MAX_ITERATIONS,
+            r_qber_ranges=(RQBERRange(0.99, QBER, QBER, 0.01),),
+            batch_size=batch,
+            dtype=dtype,
         )
 
-    dev = jax.devices()[0]
-    print(f"bench: device={dev.platform}:{dev.device_kind} "
-          f"N={n} E={matrix.num_edges} batch={batch}", file=sys.stderr)
+    comb = SimCombination(QBER, HMatrixParams(), ScalingFactors(primary=ALPHA))
 
-    t0 = time.perf_counter()
-    syn, keys, iters = jax.block_until_ready(run(0))
-    compile_s = time.perf_counter() - t0
-    fer = 1.0 - float(np.asarray(keys).mean())
-    mean_iters = float(np.asarray(iters)[np.asarray(syn)].mean())
+    dev = jax.devices()[0]
     print(
-        f"bench: warmup {compile_s:.1f}s FER={fer:.4f} "
-        f"mean_iters={mean_iters:.1f}", file=sys.stderr,
+        f"bench: device={dev.platform}:{dev.device_kind} N={n} "
+        f"E={matrix.num_edges} batch={batch} dtype={dtype}",
+        file=sys.stderr,
     )
-    if fer > 0.1:
+
+    # Warmup: compiles phase-1, phase-2, and runs one full batch.
+    t0 = time.perf_counter()
+    warm = run_combination(matrix, comb, cfg_for(batch), sim_number=0)
+    print(
+        f"bench: warmup {time.perf_counter() - t0:.1f}s "
+        f"FER={1 - warm.ratio_trials_success_ldpc:.4f} "
+        f"mean_iters={warm.iter_success_mean:.1f}",
+        file=sys.stderr,
+    )
+    if 1 - warm.ratio_trials_success_ldpc > 0.1:
         print("bench: WARNING high FER — operating point off", file=sys.stderr)
 
     t0 = time.perf_counter()
-    for i in range(1, steps + 1):
-        out = run(i)
-    jax.block_until_ready(out)
+    res = run_combination(matrix, comb, cfg_for(steps * batch), sim_number=1)
     elapsed = time.perf_counter() - t0
     frames_per_s = steps * batch / elapsed
+    print(
+        f"bench: {steps * batch} trials in {elapsed:.2f}s "
+        f"(FER={1 - res.ratio_trials_success_ldpc:.4f})",
+        file=sys.stderr,
+    )
 
     print(json.dumps({
         "metric": "decoded_10k_frames_per_s_qber0.03",

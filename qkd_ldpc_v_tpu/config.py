@@ -207,6 +207,13 @@ class Config:
     batch_size: int = 0  # 0 => decode all trials of a combination at once
     dtype: str = "float32"  # decoder message dtype: float32 | float64 | bfloat16
     use_pallas: bool = False  # opt into fused Pallas kernels where available
+    # Two-phase straggler re-decode: phase 1 runs the whole batch to this
+    # iteration cap; unconverged frames are re-decoded from scratch in a
+    # small batch at the full cap. Bit-identical to a single full-cap decode
+    # (BP from the same init is deterministic), but the big batch stops
+    # dragging at the cap for a few stragglers. -1 = auto (32 when the cap
+    # is >= 64), 0 = disabled, >0 = explicit phase-1 cap.
+    phase1_iterations: int = -1
 
 
 def _range_values(begin: float, end: float, step: float) -> Tuple[float, ...]:
@@ -542,6 +549,7 @@ def parse_config_data(config_path) -> Config:
     if dtype not in ("float32", "float64", "bfloat16"):
         raise ConfigError("tpu.dtype must be one of float32|float64|bfloat16")
     use_pallas = bool(tpu.get("use_pallas", False))
+    phase1_iterations = int(tpu.get("phase1_iterations", -1))
 
     return Config(
         threads_number=threads_number,
@@ -570,6 +578,7 @@ def parse_config_data(config_path) -> Config:
         batch_size=batch_size,
         dtype=dtype,
         use_pallas=use_pallas,
+        phase1_iterations=phase1_iterations,
     )
 
 

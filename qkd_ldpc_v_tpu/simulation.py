@@ -304,6 +304,7 @@ def _build_step(
     rate_adaptive: bool,
     batch: int,
     dtype,
+    select_size: int = 0,
 ) -> Callable:
     """One device program for one batch of Monte-Carlo trials.
 
@@ -315,8 +316,13 @@ def _build_step(
     the reference generates full-N keys and consumes the first n as payload,
     which the slice below reproduces exactly).
 
-    Returns ``(syndromes_match [B], keys_match [B], iterations [B])`` —
-    keys_match is on extended frames (reference :1216), so no
+    ``select_size`` > 0 builds the straggler-phase variant: the step takes an
+    extra ``sel [select_size] int32`` argument, regenerates the same batch
+    from the same PRNG keys, and decodes only the selected frames (used to
+    re-decode phase-1 non-converged frames at the full iteration cap).
+
+    Returns ``(syndromes_match, keys_match, iterations)`` over the decoded
+    frames — keys_match is on extended frames (reference :1216), so no
     variable-length output compaction is needed for statistics.
     """
     layout = layout_for(matrix)
@@ -326,6 +332,11 @@ def _build_step(
     decode = get_decoder(
         layout, algorithm, max_iterations, use_threshold, dtype=dtype, jit=False
     )
+
+    def select(arr, sel):
+        if sel is None:
+            return arr
+        return jnp.take(arr, sel, axis=0)
 
     def decode_tail(llr_ext, alice_frame, primary, secondary, threshold):
         alice_int = jnp.take(alice_frame, bit_order, axis=1)
@@ -339,19 +350,21 @@ def _build_step(
 
     if not rate_adaptive:
 
-        def step(ka, ke, kp, qber, num_errors, primary, secondary, threshold,
-                 pos_class, payload_gather):
+        def base_step(ka, ke, kp, qber, num_errors, primary, secondary,
+                      threshold, pos_class, payload_gather, sel=None):
             del kp, pos_class, payload_gather
-            alice = generate_keys(ka, batch, n_bits)
-            bob = inject_errors(ke, alice, num_errors)
+            alice_full = generate_keys(ka, batch, n_bits)
+            bob_full = inject_errors(ke, alice_full, num_errors)
+            alice = select(alice_full, sel)
+            bob = select(bob_full, sel)
             log_p = jnp.log((1.0 - qber) / qber).astype(dtype)
             llr = jnp.where(bob == 1, -log_p, log_p).astype(dtype)
             return decode_tail(llr, alice, primary, secondary, threshold)
 
     else:
 
-        def step(ka, ke, kp, qber, num_errors, primary, secondary, threshold,
-                 pos_class, payload_gather):
+        def base_step(ka, ke, kp, qber, num_errors, primary, secondary,
+                      threshold, pos_class, payload_gather, sel=None):
             alice_full = generate_keys(ka, batch, n_bits)
             bob_full = inject_errors(ke, alice_full, num_errors)
             # Payload = first n bits of the full-N key, exactly like the
@@ -385,7 +398,24 @@ def _build_step(
                     jnp.finfo(dtype).max,
                 ),
             ).astype(dtype)
-            return decode_tail(llr, alice_frame, primary, secondary, threshold)
+            return decode_tail(
+                select(llr, sel), select(alice_frame, sel),
+                primary, secondary, threshold,
+            )
+
+    if select_size <= 0:
+
+        def step(ka, ke, kp, qber, num_errors, primary, secondary, threshold,
+                 pos_class, payload_gather):
+            return base_step(ka, ke, kp, qber, num_errors, primary, secondary,
+                             threshold, pos_class, payload_gather)
+
+    else:
+
+        def step(ka, ke, kp, qber, num_errors, primary, secondary, threshold,
+                 pos_class, payload_gather, sel):
+            return base_step(ka, ke, kp, qber, num_errors, primary, secondary,
+                             threshold, pos_class, payload_gather, sel)
 
     return step
 
@@ -393,18 +423,31 @@ def _build_step(
 _STEP_CACHE: dict = {}
 
 
-def get_step(matrix: HMatrix, cfg: Config, batch: int) -> Callable:
+def get_step(
+    matrix: HMatrix,
+    cfg: Config,
+    batch: int,
+    max_iterations: Optional[int] = None,
+    select_size: int = 0,
+) -> Callable:
     """Memoized single-device jitted trial step (the default step factory;
     the distributed factory in parallel/driver.py shards the same step over
-    a data mesh)."""
+    a data mesh). ``max_iterations`` overrides the config cap (phase-1 of the
+    two-phase decode); ``select_size`` builds the straggler variant."""
+    cap = (
+        cfg.decoding_alg_max_iterations
+        if max_iterations is None
+        else max_iterations
+    )
     key = (
         id(matrix),
         cfg.decoding_algorithm,
-        cfg.decoding_alg_max_iterations,
+        cap,
         cfg.enable_msg_llr_threshold,
         cfg.enable_code_rate_adaptation,
         batch,
         cfg.dtype,
+        select_size,
     )
     fn = _STEP_CACHE.get(key)
     if fn is None:
@@ -412,15 +455,35 @@ def get_step(matrix: HMatrix, cfg: Config, batch: int) -> Callable:
             _build_step(
                 matrix,
                 cfg.decoding_algorithm,
-                cfg.decoding_alg_max_iterations,
+                cap,
                 cfg.enable_msg_llr_threshold,
                 cfg.enable_code_rate_adaptation,
                 batch,
                 cfg.dtype,
+                select_size=select_size,
             )
         )
         _STEP_CACHE[key] = fn
     return fn
+
+
+def resolve_phase1_cap(cfg: Config) -> int:
+    """Effective phase-1 iteration cap (0 = two-phase disabled).
+
+    Auto mode enables two-phase only when the full cap is large enough for
+    stragglers to matter."""
+    if cfg.phase1_iterations > 0:
+        return min(cfg.phase1_iterations, cfg.decoding_alg_max_iterations)
+    if cfg.phase1_iterations == 0:
+        return 0
+    # Auto: half the cap keeps the phase-1 straggler fraction near the FER
+    # floor at typical operating points (mean convergence sits well under
+    # cap/2 whenever the code is in its working region).
+    return (
+        cfg.decoding_alg_max_iterations // 2
+        if cfg.decoding_alg_max_iterations >= 64
+        else 0
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -527,11 +590,31 @@ def run_combination(
     trials = cfg.trials_number
     batch = cfg.batch_size if cfg.batch_size > 0 else trials
     batch = min(batch, trials)
-    step = (step_factory or get_step)(matrix, cfg, batch)
+    # Two-phase straggler re-decode (bit-identical to a single full-cap run,
+    # see resolve_phase1_cap) is only wired for the default single-device
+    # factory; mesh factories run single-phase.
+    phase1_cap = resolve_phase1_cap(cfg) if step_factory is None else 0
+    if step_factory is not None:
+        step = step_factory(matrix, cfg, batch)
+    elif phase1_cap:
+        step = get_step(matrix, cfg, batch, max_iterations=phase1_cap)
+    else:
+        step = get_step(matrix, cfg, batch)
 
     pos_class, payload_gather = make_frame_plan(n_bits, comb.matrix_params)
     pos_class_d = jnp.asarray(pos_class)
     payload_gather_d = jnp.asarray(payload_gather)
+
+    sdtype = jnp.dtype(cfg.dtype)
+    scalar_args = (
+        jnp.asarray(accurate_qber, sdtype),
+        jnp.int32(num_errors),
+        jnp.asarray(comb.scaling_factors.primary, sdtype),
+        jnp.asarray(comb.scaling_factors.secondary, sdtype),
+        jnp.asarray(cfg.msg_llr_threshold, sdtype),
+        pos_class_d,
+        payload_gather_d,
+    )
 
     if cfg.enable_code_rate_adaptation or cfg.enable_privacy_maintenance:
         out_key_length = n_bits - len(comb.matrix_params.bits_to_remove)
@@ -549,25 +632,40 @@ def run_combination(
         take = min(batch, trials - done)
         ka, ke, kp = trial_keys(cfg.simulation_seed, sim_number, chunk_index)
         t0 = time.perf_counter()
-        syn, keys, iters = step(
-            ka, ke, kp,
-            jnp.asarray(accurate_qber, jnp.dtype(cfg.dtype)),
-            jnp.int32(num_errors),
-            jnp.asarray(comb.scaling_factors.primary, jnp.dtype(cfg.dtype)),
-            jnp.asarray(comb.scaling_factors.secondary, jnp.dtype(cfg.dtype)),
-            jnp.asarray(cfg.msg_llr_threshold, jnp.dtype(cfg.dtype)),
-            pos_class_d,
-            payload_gather_d,
+        syn, keys, iters = jax.device_get(
+            step(ka, ke, kp, *scalar_args)
         )
-        syn, keys, iters = jax.device_get((syn, keys, iters))
+        syn = np.asarray(syn[:take]).copy()
+        keys = np.asarray(keys[:take]).copy()
+        iters = np.asarray(iters[:take]).copy()
+
+        if phase1_cap:
+            # Re-decode phase-1 stragglers from scratch at the full cap: BP
+            # from the same initialization is deterministic, so frames that
+            # converged in phase 1 already carry their exact full-run result,
+            # and stragglers get theirs here.
+            stragglers = np.flatnonzero(~syn)
+            if len(stragglers):
+                s_pad = max(64, 1 << int(np.ceil(np.log2(len(stragglers)))))
+                s_pad = min(s_pad, batch)
+                step2 = get_step(matrix, cfg, batch, select_size=s_pad)
+                sel = np.zeros(s_pad, dtype=np.int32)
+                sel[: len(stragglers)] = stragglers
+                syn2, keys2, iters2 = jax.device_get(
+                    step2(ka, ke, kp, *scalar_args, jnp.asarray(sel))
+                )
+                syn[stragglers] = np.asarray(syn2[: len(stragglers)])
+                keys[stragglers] = np.asarray(keys2[: len(stragglers)])
+                iters[stragglers] = np.asarray(iters2[: len(stragglers)])
+
         elapsed_us = (time.perf_counter() - t0) * 1e6
         # Per-trial runtime = batch wall time / batch size: the batch is the
         # TPU unit of work (all frames decode simultaneously), so this is the
         # marginal per-frame cost the reference's per-trial timer measures.
         runtime_parts.append(np.full(take, elapsed_us / take))
-        syn_parts.append(np.asarray(syn[:take]))
-        key_parts.append(np.asarray(keys[:take]))
-        iter_parts.append(np.asarray(iters[:take]))
+        syn_parts.append(syn)
+        key_parts.append(keys)
+        iter_parts.append(iters)
         done += take
         chunk_index += 1
         if progress is not None:

@@ -387,3 +387,41 @@ class TestWriteFile:
         path = write_file([self._result()], cfg, "00h-00m-01s", tmp_path)
         header = path.read_text().splitlines()[0]
         assert ";DELTA;EFFICIENCY;PUNCT_FRACTION;SHORT_FRACTION;R_ADAPTED" in header
+
+
+class TestTwoPhase:
+    def test_two_phase_bit_identical_to_single_phase(self, medium_matrix):
+        """Phase-1 cap + straggler re-decode must reproduce the single-run
+        results exactly (BP from the same init is deterministic)."""
+        comb = SimCombination(0.045, HMatrixParams(), ScalingFactors())
+        base = dict(
+            trials_number=64,
+            simulation_seed=3,
+            decoding_algorithm=DecodingAlgorithm.SPA,
+            decoding_alg_max_iterations=64,
+            r_qber_ranges=(RQBERRange(0.99, 0.045, 0.045, 0.01),),
+        )
+        # phase-1 cap of 3 sits below the typical convergence iteration
+        # (mean ~4, max ~7 at this operating point), so stragglers include
+        # frames that succeed in phase 2 — the interesting merge case.
+        cfg_two = Config(**base, phase1_iterations=3)
+        cfg_one = Config(**base, phase1_iterations=0)
+        r_two = run_combination(medium_matrix, comb, cfg_two, sim_number=0)
+        r_one = run_combination(medium_matrix, comb, cfg_one, sim_number=0)
+        assert r_two.ratio_trials_success_decoding == r_one.ratio_trials_success_decoding
+        assert r_two.ratio_trials_success_ldpc == r_one.ratio_trials_success_ldpc
+        assert r_two.iter_success_mean == r_one.iter_success_mean
+        assert r_two.iter_success_min == r_one.iter_success_min
+        assert r_two.iter_success_max == r_one.iter_success_max
+
+    def test_auto_phase1_resolution(self):
+        from qkd_ldpc_v_tpu.simulation import resolve_phase1_cap
+
+        assert resolve_phase1_cap(_base_cfg(decoding_alg_max_iterations=100)) == 50
+        assert resolve_phase1_cap(_base_cfg(decoding_alg_max_iterations=50)) == 0
+        assert resolve_phase1_cap(
+            _base_cfg(decoding_alg_max_iterations=100, phase1_iterations=0)
+        ) == 0
+        assert resolve_phase1_cap(
+            _base_cfg(decoding_alg_max_iterations=100, phase1_iterations=20)
+        ) == 20
