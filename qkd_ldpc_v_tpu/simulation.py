@@ -564,6 +564,81 @@ def process_trials_results(
     result.ratio_trials_success_ldpc = n_ldpc / trials
 
 
+def _run_trials_traced(
+    matrix: HMatrix,
+    comb: SimCombination,
+    cfg: Config,
+    sim_number: int,
+    accurate_qber: float,
+    num_errors: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side trial loop through the f64 oracle with console tracing
+    (used when any trace flag is enabled — the reference emits its traces
+    from inside the per-trial decoders, src/qkd_ldpc_algorithm.cpp:88-99,
+    :1094-1116). PRNG discipline matches the device path exactly: same
+    threefry keys, same batch generation, so traced runs reproduce the
+    untraced sweep's channel realizations."""
+    from qkd_ldpc_v_tpu.oracle import calculate_syndrome as oracle_syndrome
+    from qkd_ldpc_v_tpu.tracing import traced_decode
+
+    trials = cfg.trials_number
+    n_bits = matrix.num_bit_nodes
+    ka, ke, kp = trial_keys(cfg.simulation_seed, sim_number, 0)
+    alice_full = np.asarray(generate_keys(ka, trials, n_bits))
+    bob_full = np.asarray(inject_errors(ke, jnp.asarray(alice_full), num_errors))
+
+    if cfg.enable_code_rate_adaptation:
+        pos_class, payload_gather = make_frame_plan(n_bits, comb.matrix_params)
+        kpa, kpb = jax.random.split(kp)
+        alice_punct = np.asarray(
+            jax.random.bernoulli(kpa, 0.5, (trials, n_bits))
+        ).astype(np.int8)
+        bob_punct = np.asarray(
+            jax.random.bernoulli(kpb, 0.5, (trials, n_bits))
+        ).astype(np.int8)
+        is_payload = pos_class == _CLASS_PAYLOAD
+        is_punct = pos_class == _CLASS_PUNCTURED
+        a_payload = alice_full[:, payload_gather]
+        b_payload = bob_full[:, payload_gather]
+        alice_frames = np.where(
+            is_payload, a_payload, np.where(is_punct, alice_punct, 0)
+        ).astype(np.int8)
+        bob_frames = np.where(
+            is_payload, b_payload, np.where(is_punct, bob_punct, 0)
+        ).astype(np.int8)
+        log_p = np.log((1.0 - accurate_qber) / accurate_qber)
+        llr_frames = np.where(
+            is_payload,
+            np.where(bob_frames == 1, -log_p, log_p),
+            np.where(is_punct, ALMOST_ZERO, np.finfo(np.float64).max),
+        )
+    else:
+        alice_frames = alice_full
+        log_p = np.log((1.0 - accurate_qber) / accurate_qber)
+        llr_frames = np.where(bob_full == 1, -log_p, log_p)
+
+    syn = np.zeros(trials, dtype=bool)
+    keys = np.zeros(trials, dtype=bool)
+    iters = np.zeros(trials, dtype=np.int32)
+    for t in range(trials):
+        syndrome = oracle_syndrome(matrix.check_nodes, alice_frames[t])
+        decision, ok, it, _ = traced_decode(
+            matrix,
+            llr_frames[t],
+            syndrome,
+            cfg,
+            comb.scaling_factors.primary,
+            comb.scaling_factors.secondary,
+        )
+        syn[t] = ok
+        keys[t] = bool(np.array_equal(decision, alice_frames[t]))
+        iters[t] = it
+        if cfg.trace_qkd_ldpc:
+            print(f"Trial {t}: iterations={it} syndromes_match={ok} "
+                  f"keys_match={keys[t]}")
+    return syn, keys, iters
+
+
 def run_combination(
     matrix: HMatrix,
     comb: SimCombination,
@@ -586,6 +661,41 @@ def run_combination(
             f"Key size '{n_bits}' is too small for QBER."
         )
     accurate_qber = num_errors / n_bits
+
+    if cfg.trace_qkd_ldpc or cfg.trace_decoding_alg or cfg.trace_decoding_alg_llr:
+        t0 = time.perf_counter()
+        syn_t, keys_t, iters_t = _run_trials_traced(
+            matrix, comb, cfg, sim_number, accurate_qber, num_errors
+        )
+        elapsed_us = (time.perf_counter() - t0) * 1e6
+        if cfg.enable_code_rate_adaptation or cfg.enable_privacy_maintenance:
+            out_len = n_bits - len(comb.matrix_params.bits_to_remove)
+        else:
+            out_len = n_bits
+        result = SimResult(
+            sim_number=sim_number,
+            matrix_filename=Path(matrix.source_path).name if matrix.source_path else "",
+            is_regular=matrix.is_regular,
+            num_bit_nodes=matrix.num_bit_nodes,
+            num_check_nodes=matrix.num_check_nodes,
+            config_qber=comb.config_qber,
+            accurate_qber=accurate_qber,
+            delta=comb.matrix_params.delta,
+            efficiency=comb.matrix_params.efficiency,
+            punctured_fraction=comb.matrix_params.punctured_fraction,
+            shortened_fraction=comb.matrix_params.shortened_fraction,
+            adapted_code_rate=comb.matrix_params.adapted_code_rate,
+            scaling_factors=comb.scaling_factors,
+        )
+        process_trials_results(
+            cfg, syn_t, keys_t, iters_t,
+            np.full(cfg.trials_number, elapsed_us / cfg.trials_number)
+            if cfg.enable_throughput_measurement else None,
+            out_len, result,
+        )
+        if progress is not None:
+            progress(cfg.trials_number)
+        return result
 
     trials = cfg.trials_number
     batch = cfg.batch_size if cfg.batch_size > 0 else trials
