@@ -190,8 +190,11 @@ def main(argv=None) -> int:
             sim_inputs = prepare_sim_inputs(matrix_paths, cfg)
 
             start = time.monotonic()
+            args.results.mkdir(parents=True, exist_ok=True)
+            checkpoint = args.results / f".{config_path.stem}.checkpoint.json"
             results = qkd_ldpc_batch_simulation(
-                sim_inputs, cfg, progress=_progress_printer(args.quiet)
+                sim_inputs, cfg, progress=_progress_printer(args.quiet),
+                checkpoint_path=checkpoint,
             )
             duration = format_duration(time.monotonic() - start)
 

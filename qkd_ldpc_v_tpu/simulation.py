@@ -808,24 +808,105 @@ def run_combination(
     return result
 
 
+def _campaign_fingerprint(sim_inputs: Sequence[SimInput], cfg: Config) -> str:
+    """Stable id of a sweep campaign for checkpoint/resume: config fields
+    that affect results plus the matrix file list."""
+    import hashlib
+
+    parts = [
+        repr(
+            (
+                cfg.trials_number,
+                cfg.simulation_seed,
+                int(cfg.decoding_algorithm),
+                cfg.decoding_alg_max_iterations,
+                cfg.enable_privacy_maintenance,
+                cfg.enable_code_rate_adaptation,
+                cfg.enable_untainted_puncturing,
+                cfg.enable_msg_llr_threshold,
+                cfg.msg_llr_threshold,
+                cfg.dtype,
+            )
+        )
+    ]
+    parts.extend(str(s.matrix_path) for s in sim_inputs)
+    parts.append(str(sum(len(s.combinations) for s in sim_inputs)))
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
+
+
+def save_checkpoint(path, fingerprint: str, results: Sequence[SimResult]) -> None:
+    """Append-style JSON checkpoint of completed combinations. The reference
+    writes results only at campaign end and loses everything on a crash
+    (reference: src/main.cpp:185); this framework checkpoints each finished
+    combination and resumes mid-sweep."""
+    import dataclasses
+    import json
+
+    payload = {
+        "fingerprint": fingerprint,
+        "results": [
+            {**dataclasses.asdict(r), "scaling_factors": dataclasses.asdict(r.scaling_factors)}
+            for r in results
+        ],
+    }
+    tmp = Path(str(path) + ".tmp")
+    tmp.write_text(json.dumps(payload))
+    tmp.replace(path)
+
+
+def load_checkpoint(path, fingerprint: str) -> List[SimResult]:
+    """Load a matching checkpoint's completed results ([] when absent or
+    from a different campaign)."""
+    import json
+
+    path = Path(path)
+    if not path.exists():
+        return []
+    try:
+        payload = json.loads(path.read_text())
+    except (OSError, ValueError):
+        return []
+    if payload.get("fingerprint") != fingerprint:
+        return []
+    out = []
+    for d in payload.get("results", []):
+        sf = d.pop("scaling_factors", {})
+        out.append(SimResult(**d, scaling_factors=ScalingFactors(**sf)))
+    return out
+
+
 def qkd_ldpc_batch_simulation(
     sim_inputs: Sequence[SimInput],
     cfg: Config,
     progress: Optional[Callable[[int, int], None]] = None,
     step_factory: Optional[Callable[[HMatrix, Config, int], Callable]] = None,
+    checkpoint_path=None,
 ) -> List[SimResult]:
     """Run the full sweep (reference: src/simulation.cpp:693-768).
 
     ``progress(trials_done_increment, trials_total)`` is invoked as chunks
-    complete (the reference ticks its bar per trial, :744).
+    complete (the reference ticks its bar per trial, :744). When
+    ``checkpoint_path`` is given, each finished combination is checkpointed
+    and a matching prior checkpoint resumes the sweep mid-way.
     """
     sim_total = sum(len(s.combinations) for s in sim_inputs)
     trials_total = sim_total * cfg.trials_number
+
+    fingerprint = ""
     results: List[SimResult] = []
+    if checkpoint_path is not None:
+        fingerprint = _campaign_fingerprint(sim_inputs, cfg)
+        results = load_checkpoint(checkpoint_path, fingerprint)
+        if results and progress:
+            progress(len(results) * cfg.trials_number, trials_total)
+
     sim_number = 0
     cb = (lambda inc: progress(inc, trials_total)) if progress else None
     for sim_in in sim_inputs:
         for comb in sim_in.combinations:
+            if sim_number < len(results):
+                sim_number += 1  # already completed in a prior run
+                continue
             res = run_combination(
                 sim_in.matrix, comb, cfg, sim_number,
                 progress=cb, step_factory=step_factory,
@@ -833,6 +914,10 @@ def qkd_ldpc_batch_simulation(
             res.matrix_filename = sim_in.matrix_path.name
             results.append(res)
             sim_number += 1
+            if checkpoint_path is not None:
+                save_checkpoint(checkpoint_path, fingerprint, results)
+    if checkpoint_path is not None:
+        Path(checkpoint_path).unlink(missing_ok=True)
     return results
 
 

@@ -425,3 +425,53 @@ class TestTwoPhase:
         assert resolve_phase1_cap(
             _base_cfg(decoding_alg_max_iterations=100, phase1_iterations=20)
         ) == 20
+
+
+class TestCheckpointResume:
+    def test_resume_skips_completed(self, matrix_file, tmp_path):
+        from qkd_ldpc_v_tpu.simulation import (
+            load_checkpoint,
+            qkd_ldpc_batch_simulation,
+            _campaign_fingerprint,
+        )
+
+        cfg = _base_cfg(
+            trials_number=8,
+            matrix_format=1,
+            r_qber_ranges=(RQBERRange(0.9, 0.02, 0.04, 0.01),),
+        )
+        inputs = prepare_sim_inputs([matrix_file], cfg)
+        ckpt = tmp_path / "run.checkpoint.json"
+
+        # Simulate a crash after the first combination: run it manually and
+        # checkpoint.
+        from qkd_ldpc_v_tpu.simulation import run_combination, save_checkpoint
+
+        first = run_combination(inputs[0].matrix, inputs[0].combinations[0], cfg, 0)
+        first.matrix_filename = inputs[0].matrix_path.name
+        fp = _campaign_fingerprint(inputs, cfg)
+        save_checkpoint(ckpt, fp, [first])
+        assert len(load_checkpoint(ckpt, fp)) == 1
+
+        calls = []
+        results = qkd_ldpc_batch_simulation(
+            inputs, cfg,
+            progress=lambda inc, total: calls.append(inc),
+            checkpoint_path=ckpt,
+        )
+        assert len(results) == 3
+        # first combination restored, not re-run: first progress callback is
+        # the bulk restore of 1 combination's trials
+        assert calls[0] == 8
+        assert results[0].config_qber == first.config_qber
+        assert results[0].ratio_trials_success_ldpc == first.ratio_trials_success_ldpc
+        # checkpoint removed on completion
+        assert not ckpt.exists()
+
+    def test_mismatched_fingerprint_ignored(self, matrix_file, tmp_path):
+        from qkd_ldpc_v_tpu.simulation import load_checkpoint, save_checkpoint
+
+        ckpt = tmp_path / "c.json"
+        save_checkpoint(ckpt, "aaaa", [SimResult(sim_number=0)])
+        assert load_checkpoint(ckpt, "bbbb") == []
+        assert len(load_checkpoint(ckpt, "aaaa")) == 1
