@@ -61,6 +61,7 @@ class MatrixFormat(enum.IntEnum):
     ALIST = 1
     SPARSE_1 = 2  # MacKay/PEG: N / M / max-row-weight header, 1-based rows
     SPARSE_2 = 3  # "N M" header, 0-based rows then columns
+    QC = 4  # quasi-cyclic base-graph shifts (TPU extension; models/qc.py)
 
     @property
     def display_name(self) -> str:
@@ -69,6 +70,7 @@ class MatrixFormat(enum.IntEnum):
             MatrixFormat.ALIST: "Sparse (alist)",
             MatrixFormat.SPARSE_1: "Sparse (1)",
             MatrixFormat.SPARSE_2: "Sparse (2)",
+            MatrixFormat.QC: "Quasi-cyclic (TPU extension)",
         }[self]
 
     @property
@@ -79,6 +81,7 @@ class MatrixFormat(enum.IntEnum):
             MatrixFormat.ALIST: "matrices_alist",
             MatrixFormat.SPARSE_1: "matrices_1",
             MatrixFormat.SPARSE_2: "matrices_2",
+            MatrixFormat.QC: "matrices_qc",
         }[self]
 
 
@@ -387,10 +390,11 @@ def parse_config_data(config_path) -> Config:
         )
 
     matrix_format_idx = int(config["matrix_format"])
-    if matrix_format_idx > MatrixFormat.SPARSE_2:
+    if matrix_format_idx > MatrixFormat.QC:
         raise ConfigError(
-            "Only four options are available: \n0 - uncompressed;\n1 - sparse "
-            "alist;\n2 - sparse_1;\n3 - sparse_2."
+            "Only five options are available: \n0 - uncompressed;\n1 - sparse "
+            "alist;\n2 - sparse_1;\n3 - sparse_2;\n4 - quasi-cyclic (TPU "
+            "extension)."
         )
     matrix_format = MatrixFormat(matrix_format_idx)
 

@@ -48,6 +48,10 @@ class HMatrix:
     # Max-size untainted puncturable positions (filled lazily; see rate_adapt)
     punctured_bits_untainted: Optional[np.ndarray] = None
     source_path: Optional[Path] = None
+    # Quasi-cyclic structure when this matrix came from a QCMatrix (lets the
+    # device decoder pick the roll-based / fused Pallas path); type is
+    # models.qc.QCMatrix, kept untyped to avoid a circular import.
+    qc: Optional[object] = None
 
     @property
     def num_bit_nodes(self) -> int:
@@ -327,16 +331,27 @@ def read_sparse_matrix_2(matrix_path) -> HMatrix:
     return HMatrix(bit_rows, check_rows, is_regular, source_path=path)
 
 
+def _read_qc(matrix_path) -> HMatrix:
+    from qkd_ldpc_v_tpu.models.qc import read_qc_matrix
+
+    qc = read_qc_matrix(matrix_path)
+    matrix = qc.to_hmatrix()
+    matrix.source_path = Path(matrix_path)
+    return matrix
+
+
 _READERS = {
     MatrixFormat.UNCOMPRESSED: read_sparse_uncompressed_matrix,
     MatrixFormat.ALIST: read_sparse_matrix_alist,
     MatrixFormat.SPARSE_1: read_sparse_matrix_1,
     MatrixFormat.SPARSE_2: read_sparse_matrix_2,
+    MatrixFormat.QC: _read_qc,
 }
 
 
 def read_matrix(matrix_path, matrix_format: MatrixFormat) -> HMatrix:
-    """Dispatch on format (reference: src/simulation.cpp:378-385)."""
+    """Dispatch on format (reference: src/simulation.cpp:378-385; QC is a
+    TPU-extension format)."""
     return _READERS[matrix_format](matrix_path)
 
 

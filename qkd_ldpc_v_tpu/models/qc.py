@@ -93,6 +93,7 @@ class QCMatrix:
             bit_nodes=bit_nodes,
             check_nodes=check_nodes,
             is_regular=len(row_w) == 1 and len(col_w) == 1,
+            qc=self,
         )
 
 
@@ -102,54 +103,137 @@ def generate_qc_ldpc(
     lifting: int,
     column_weight: int = 3,
     seed: int = 0,
-    girth_tries: int = 50,
+    girth_tries: int = 50,  # kept for API compatibility; unused
 ) -> QCMatrix:
-    """Random regular QC-LDPC construction with 4-cycle avoidance.
+    """Regular QC-LDPC construction with girth-aware shift assignment.
 
     Base graph: every base column gets exactly ``column_weight`` blocks at
     distinct base rows, spread to keep base row weights balanced. Shifts are
-    drawn uniformly and re-drawn (up to ``girth_tries``) when they would
-    close a length-4 cycle in the lifted graph — the standard
-    Fossorier condition: for base cycles r1-c1-r2-c2, a lifted 4-cycle exists
-    iff s(r1,c1) - s(r2,c1) + s(r2,c2) - s(r1,c2) == 0 (mod Z).
+    then assigned greedily cell by cell: the Fossorier condition says a base
+    cycle r1-c1-r2-c2-...-rk-ck lifts to short cycles iff its alternating
+    shift sum is 0 mod Z, so for each cell we enumerate all base 4-cycle and
+    6-cycle closures through already-assigned cells, convert each into the
+    *residue* the new shift must avoid, and score every candidate shift at
+    once: 4-cycle residues are forbidden, 6-cycle residues are penalties
+    (weighted by multiplicity). The result is 4-cycle-free and approximately
+    6-cycle-minimal — girth >= 8 whenever a zero-penalty assignment exists.
     """
     rng = np.random.default_rng(seed)
+    z = lifting
     shifts = np.full((base_checks, base_bits), -1, dtype=np.int64)
     row_load = np.zeros(base_checks, dtype=np.int64)
 
     for c in range(base_bits):
         # Least-loaded base rows first, random tie-break.
         order = rng.permutation(base_checks)
-        rows = order[np.argsort(row_load[order], kind="stable")][:column_weight]
-        for r in rows:
+        sel = order[np.argsort(row_load[order], kind="stable")][:column_weight]
+        for r in sel:
             row_load[r] += 1
-            shifts[r, c] = rng.integers(lifting)
+            shifts[r, c] = 0  # placeholder: cell exists, shift unassigned
 
-    # 4-cycle removal: resample the shift of one cell of each violating
-    # quadruple until clean or out of tries.
-    def violations():
-        viol = []
-        for c1 in range(base_bits):
-            rows1 = np.flatnonzero(shifts[:, c1] >= 0)
-            for c2 in range(c1 + 1, base_bits):
-                rows2 = np.flatnonzero(shifts[:, c2] >= 0)
-                common = np.intersect1d(rows1, rows2)
-                for a in range(len(common)):
-                    for b in range(a + 1, len(common)):
-                        r1, r2 = int(common[a]), int(common[b])
-                        d = (
-                            shifts[r1, c1] - shifts[r2, c1]
-                            + shifts[r2, c2] - shifts[r1, c2]
-                        ) % lifting
-                        if d == 0:
-                            viol.append((r1, c1))
-        return viol
+    cells = [(r, c) for r in range(base_checks) for c in range(base_bits)
+             if shifts[r, c] >= 0]
+    assigned = np.zeros_like(shifts, dtype=bool)
+    row_cols = [np.flatnonzero(shifts[r] >= 0) for r in range(base_checks)]
+    col_rows = [np.flatnonzero(shifts[:, c] >= 0) for c in range(base_bits)]
 
-    for _ in range(girth_tries):
-        viol = violations()
-        if not viol:
-            break
-        for r, c in viol:
-            shifts[r, c] = rng.integers(lifting)
+    for idx in rng.permutation(len(cells)):
+        r, c = cells[idx]
+        forbidden: List[int] = []
+        penalties: List[int] = []
 
-    return QCMatrix(shifts=shifts, lifting=lifting)
+        # 4-cycles: r-c .. r-c2 .. r2-c2 .. r2-c. The new shift s closes a
+        # lifted 4-cycle iff s == s(r2,c) - s(r2,c2) + s(r,c2) (mod Z).
+        for c2 in row_cols[r]:
+            if c2 == c or not assigned[r, c2]:
+                continue
+            for r2 in col_rows[c2]:
+                if r2 == r or not assigned[r2, c2] or not assigned[r2, c]:
+                    continue
+                if c not in row_cols[r2]:
+                    continue
+                forbidden.append(
+                    int((shifts[r2, c] - shifts[r2, c2] + shifts[r, c2]) % z)
+                )
+
+        # 6-cycles: r-c .. r-c2 .. r2-c2 .. r2-c3 .. r3-c3 .. r3-c.
+        # s == s(r,c2) - s(r2,c2) + s(r2,c3) - s(r3,c3) + s(r3,c) (mod Z).
+        for c2 in row_cols[r]:
+            if c2 == c or not assigned[r, c2]:
+                continue
+            for r2 in col_rows[c2]:
+                if r2 == r or not assigned[r2, c2]:
+                    continue
+                for c3 in row_cols[r2]:
+                    if c3 in (c, c2) or not assigned[r2, c3]:
+                        continue
+                    for r3 in col_rows[c3]:
+                        if r3 in (r, r2) or not assigned[r3, c3]:
+                            continue
+                        if not (shifts[r3, c] >= 0 and assigned[r3, c]):
+                            continue
+                        penalties.append(
+                            int(
+                                (
+                                    shifts[r, c2] - shifts[r2, c2]
+                                    + shifts[r2, c3] - shifts[r3, c3]
+                                    + shifts[r3, c]
+                                ) % z
+                            )
+                        )
+
+        score = np.zeros(z, dtype=np.int64)
+        if penalties:
+            np.add.at(score, np.asarray(penalties), 1)
+        if forbidden:
+            score[np.asarray(forbidden)] = np.iinfo(np.int64).max // 2
+        best = score.min()
+        candidates = np.flatnonzero(score == best)
+        shifts[r, c] = int(candidates[rng.integers(len(candidates))])
+        assigned[r, c] = True
+
+    return QCMatrix(shifts=shifts, lifting=z)
+
+
+def write_qc_matrix(qc: QCMatrix, path) -> None:
+    """Write the base-graph shift table: header "mb nb Z", then mb rows of
+    nb shifts (-1 = absent block). TPU-extension format (the reference has
+    no QC format; these files live under sparse_matrices/matrices_qc/)."""
+    from pathlib import Path
+
+    lines = [f"{qc.base_checks} {qc.base_bits} {qc.lifting}"]
+    for r in range(qc.base_checks):
+        lines.append(" ".join(str(int(s)) for s in qc.shifts[r]))
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
+def read_qc_matrix(path) -> QCMatrix:
+    """Read a .mtrx file in the QC base-graph format (see write_qc_matrix)."""
+    from pathlib import Path
+
+    from qkd_ldpc_v_tpu.models.hmatrix import MatrixFormatError
+
+    text = Path(path).read_text()
+    lines = [ln for ln in text.splitlines() if ln.strip()]
+    if not lines:
+        raise MatrixFormatError(f"File is empty or cannot be read properly: {path}")
+    header = lines[0].split()
+    if len(header) != 3:
+        raise MatrixFormatError(f"Wrong QC matrix header (want 'mb nb Z'): {path}")
+    mb, nb, z = (int(v) for v in header)
+    if len(lines) < 1 + mb:
+        raise MatrixFormatError(f"Insufficient data in the file: {path}")
+    shifts = np.full((mb, nb), -1, dtype=np.int64)
+    for r in range(mb):
+        row = [int(v) for v in lines[1 + r].split()]
+        if len(row) != nb:
+            raise MatrixFormatError(
+                f"Row {r} has {len(row)} entries, expected {nb}. File: {path}"
+            )
+        for c, s in enumerate(row):
+            if s >= z:
+                raise MatrixFormatError(
+                    f"Shift {s} out of range [0,{z}) at ({r},{c}). File: {path}"
+                )
+            shifts[r, c] = s
+    return QCMatrix(shifts=shifts, lifting=z)
