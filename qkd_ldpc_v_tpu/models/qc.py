@@ -195,6 +195,96 @@ def generate_qc_ldpc(
     return QCMatrix(shifts=shifts, lifting=z)
 
 
+def generate_qc_peg(
+    base_bits: int,
+    base_checks: int,
+    lifting: int,
+    column_weight: int = 3,
+    seed: int = 0,
+) -> QCMatrix:
+    """QC-PEG: progressive edge growth on the *lifted* graph.
+
+    Classic PEG (Hu/Eleftheriou/Arnold) attaches each new edge to the check
+    node farthest from the bit in the current graph, maximizing local girth.
+    For a QC lift this specializes cleanly: by circulant symmetry, distances
+    from bit (c, 0) replicate to every (c, j), so one BFS per edge decides
+    the whole circulant. Choosing the attachment check (r, z0) for bit
+    (c, 0) fixes the block shift s = (-z0) mod Z.
+
+    Selection rule per edge: unreachable checks first (keeps the graph
+    spread), else maximal BFS distance; ties broken by minimal current
+    check-node degree, then uniformly at random.
+    """
+    rng = np.random.default_rng(seed)
+    z = lifting
+    m = base_checks * z
+    shifts = np.full((base_checks, base_bits), -1, dtype=np.int64)
+
+    # Lifted adjacency (built incrementally): for BFS we need, per bit and
+    # per check, the incident opposite-side nodes.
+    bit_adj: List[List[int]] = [[] for _ in range(base_bits * z)]
+    check_adj: List[List[int]] = [[] for _ in range(m)]
+    check_deg = np.zeros(m, dtype=np.int64)
+
+    INF = np.iinfo(np.int64).max
+
+    def bfs_check_distances(c: int) -> np.ndarray:
+        """Distance from bit (c, 0) to every lifted check (edges = 1 hop
+        bit->check)."""
+        dist = np.full(m, INF, dtype=np.int64)
+        start = c * z
+        frontier_bits = [start]
+        seen_bits = {start}
+        depth = 0
+        while frontier_bits:
+            next_checks = []
+            for b in frontier_bits:
+                for ch in bit_adj[b]:
+                    if dist[ch] == INF:
+                        dist[ch] = depth + 1
+                        next_checks.append(ch)
+            frontier_bits = []
+            for ch in next_checks:
+                for b in check_adj[ch]:
+                    if b not in seen_bits:
+                        seen_bits.add(b)
+                        frontier_bits.append(b)
+            depth += 2
+        return dist
+
+    def attach(r: int, c: int, s: int) -> None:
+        shifts[r, c] = s
+        i = np.arange(z)
+        j = (i + s) % z
+        for zi, zj in zip(i, j):
+            ch = r * z + int(zi)
+            b = c * z + int(zj)
+            check_adj[ch].append(b)
+            bit_adj[b].append(ch)
+        check_deg[r * z:(r + 1) * z] += 1
+
+    for c in range(base_bits):
+        used_rows: List[int] = []
+        for _ in range(column_weight):
+            dist = bfs_check_distances(c)
+            # Mask checks in already-used base rows.
+            for r in used_rows:
+                dist[r * z:(r + 1) * z] = -1
+            reachable_max = dist[(dist >= 0) & (dist < INF)]
+            if (dist == INF).any():
+                cand = np.flatnonzero(dist == INF)
+            else:
+                cand = np.flatnonzero(dist == reachable_max.max())
+            min_deg = check_deg[cand].min()
+            cand = cand[check_deg[cand] == min_deg]
+            chosen = int(cand[rng.integers(len(cand))])
+            r, z0 = divmod(chosen, z)
+            attach(r, c, (-z0) % z)
+            used_rows.append(r)
+
+    return QCMatrix(shifts=shifts, lifting=z)
+
+
 def write_qc_matrix(qc: QCMatrix, path) -> None:
     """Write the base-graph shift table: header "mb nb Z", then mb rows of
     nb shifts (-1 = absent block). TPU-extension format (the reference has

@@ -305,6 +305,7 @@ def _build_step(
     batch: int,
     dtype,
     select_size: int = 0,
+    use_pallas: bool = False,
 ) -> Callable:
     """One device program for one batch of Monte-Carlo trials.
 
@@ -329,9 +330,19 @@ def _build_step(
     dtype = jnp.dtype(dtype)
     n_bits = matrix.num_bit_nodes
     bit_order = jnp.asarray(layout.bit_order)
-    decode = get_decoder(
-        layout, algorithm, max_iterations, use_threshold, dtype=dtype, jit=False
-    )
+    if use_pallas and matrix.qc is not None and dtype == jnp.float32:
+        from qkd_ldpc_v_tpu.ops.pallas_qc import make_pallas_qc_decoder
+
+        # Fused VMEM-resident kernel; interpret mode keeps CPU runs working.
+        decode = make_pallas_qc_decoder(
+            matrix.qc, algorithm, max_iterations, use_threshold,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        decode = get_decoder(
+            layout, algorithm, max_iterations, use_threshold, dtype=dtype,
+            jit=False,
+        )
 
     def select(arr, sel):
         if sel is None:
@@ -448,6 +459,7 @@ def get_step(
         batch,
         cfg.dtype,
         select_size,
+        cfg.use_pallas,
     )
     fn = _STEP_CACHE.get(key)
     if fn is None:
@@ -461,6 +473,7 @@ def get_step(
                 batch,
                 cfg.dtype,
                 select_size=select_size,
+                use_pallas=cfg.use_pallas,
             )
         )
         _STEP_CACHE[key] = fn
@@ -702,8 +715,13 @@ def run_combination(
     batch = min(batch, trials)
     # Two-phase straggler re-decode (bit-identical to a single full-cap run,
     # see resolve_phase1_cap) is only wired for the default single-device
-    # factory; mesh factories run single-phase.
-    phase1_cap = resolve_phase1_cap(cfg) if step_factory is None else 0
+    # factory; mesh factories run single-phase, and the fused Pallas path
+    # already exits early per batch tile.
+    phase1_cap = (
+        resolve_phase1_cap(cfg)
+        if step_factory is None and not cfg.use_pallas
+        else 0
+    )
     if step_factory is not None:
         step = step_factory(matrix, cfg, batch)
     elif phase1_cap:
