@@ -1,37 +1,40 @@
-"""Fused Pallas TPU decoder for QC-LDPC codes.
+"""Fused Pallas TPU decoders for QC-LDPC codes.
 
 The jnp decoders stream the full message state through HBM several times per
-iteration (check pass, regroup, bit pass, regroup, syndrome). This kernel
-inverts that: the **entire decode runs inside one `pallas_call`**, with the
-whole message state for a tile of frames resident in VMEM. HBM is touched
-exactly twice — LLRs/syndromes in, decisions out. Per iteration the QC
-structure makes every cross-enumeration move a `pltpu.roll` (lane rotation)
-of a `[TB, Z]` plane: zero memory traffic, pure VPU work.
+iteration (check pass, regroup, bit pass, regroup, syndrome). These kernels
+invert that: the **entire decode runs inside one `pallas_call`**, with the
+whole message state for a tile of frames resident in VMEM. Per iteration the
+QC structure makes every cross-enumeration move a `pltpu.roll` (lane
+rotation) of a `[TB, Z]` plane: zero memory traffic, pure VPU work.
 
-Layout per batch tile (TB frames):
-  * message state  M[be][TB, Z]  — one plane per block edge, check-aligned
-    (``M[be][:, z]`` is the message on edge check (r, z) <-> bit
-    (c, (z+s) mod Z)); VMEM scratch, overwritten in place by extrinsics.
-  * decision/frozen [nb][TB, Z] int8 planes, bit-aligned.
-  * convergence bookkeeping ([TB] masks, first-success iterations) lives in
-    the while-loop carry.
+Two kernel modes share one builder:
+
+  * ``make_pallas_qc_decoder`` — the library decode API (LLRs + syndrome in,
+    decisions out), signature-compatible with ops/decoders.make_decoder.
+  * ``make_pallas_qc_trial`` — the Monte-Carlo driver's hot path: raw
+    Alice/Bob key bits in; the kernel computes Alice's syndrome (parity
+    rolls), channel LLRs, the full decode, and the key comparison, returning
+    only the three per-frame statistics. HBM traffic: two int8 key arrays
+    in, three tiny vectors out.
 
 Early exit is per *tile*: a tile of TB frames stops iterating as soon as all
 TB converge — much finer-grained than whole-batch early exit, so stragglers
-only stall their own tile (the Pallas analogue of the driver's two-phase
-re-decode, with identical per-frame semantics).
+only stall their own tile.
 
 Algorithms and semantics match ops/decoders.py exactly (reference:
 src/qkd_ldpc_algorithm.cpp:3-1029): hard-decision tie-break, two-minimum tie
 handling, min-sum sign conventions, OMSA clamp-at-zero, the adaptive pair's
 previous-decision factor selection and in-check-pass convergence, and the
 optional message clamp at the reference's program points.
+
+Mosaic notes: vector rotates and while-loop carries must be 32-bit (int8
+planes and bool carries are rejected/crash), and atanh has no primitive
+(log identity used instead).
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Callable
+from typing import Callable, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,22 +48,33 @@ from qkd_ldpc_v_tpu.ops.decoders import DecodeResult
 from qkd_ldpc_v_tpu.ops.linapprox import atanh_lin_approx, tanh_lin_approx
 
 
-def make_pallas_qc_decoder(
+def _base_tables(qc: QCMatrix):
+    """rows[r] = [(be, c, s)], cols[c] = [(be, r, s)], in storage order."""
+    rows = []
+    cols: List[List[Tuple[int, int, int]]] = [[] for _ in range(qc.base_bits)]
+    be = 0
+    for r in range(qc.base_checks):
+        row = []
+        for c in range(qc.base_bits):
+            s = int(qc.shifts[r, c])
+            if s >= 0:
+                row.append((be, c, s))
+                cols[c].append((be, r, s))
+                be += 1
+        rows.append(row)
+    return rows, cols, be
+
+
+def _build(
     qc: QCMatrix,
     algorithm: DecodingAlgorithm,
     max_iterations: int,
     use_threshold: bool,
-    dtype=jnp.float32,
-    batch_tile: int = 16,
-    interpret: bool = False,
-) -> Callable[..., DecodeResult]:
-    """Build the fused decoder. Same call signature as make_decoder:
-    ``decode(llr_ext [B,N], syndrome_ext [B,M] int8, primary, secondary,
-    threshold) -> DecodeResult``. B must be a multiple of ``batch_tile``
-    (the wrapper pads)."""
-    dtype = jnp.dtype(dtype)
-    if dtype != jnp.float32:
-        raise ValueError("pallas QC decoder is float32-only")
+    batch_tile: int,
+    interpret: bool,
+    trial_mode: bool,
+):
+    dtype = jnp.dtype(jnp.float32)
     z = qc.lifting
     nb, mb = qc.base_bits, qc.base_checks
     n, m = nb * z, mb * z
@@ -77,62 +91,68 @@ def make_pallas_qc_decoder(
     else:
         tanh_fn, atanh_fn = tanh_lin_approx, atanh_lin_approx
 
-    # Static base-graph tables.
-    rows = []  # per base row: list of (be, c, s)
-    cols = [[] for _ in range(nb)]  # per base col: list of (be, r, s)
-    be = 0
-    for r in range(mb):
-        row = []
-        for c in range(nb):
-            s = int(qc.shifts[r, c])
-            if s >= 0:
-                row.append((be, c, s))
-                cols[c].append((be, r, s))
-                be += 1
-        rows.append(row)
-    num_be = be
+    rows, cols, num_be = _base_tables(qc)
 
     def clamp(x, threshold):
         if use_threshold:
             return jnp.clip(x, -threshold, threshold)
         return x
 
-    def kernel(llr_ref, syn_ref, prim_ref, sec_ref, thr_ref,
-               dec_out, conv_out, iter_out,
-               msg, dec, frz):
+    def kernel(*args):
+        if trial_mode:
+            (alice_ref, bob_ref, qber_ref, prim_ref, sec_ref, thr_ref,
+             conv_out, keys_out, iter_out,
+             msg, dec, frz, llr_s, syn_s) = args
+        else:
+            (llr_ref, syn_ref, prim_ref, sec_ref, thr_ref,
+             dec_out, conv_out, iter_out,
+             msg, dec, frz, llr_s, syn_s) = args
         primary = prim_ref[0, 0]
         secondary = sec_ref[0, 0]
         threshold = thr_ref[0, 0]
 
-        def llr_block(c):
-            return llr_ref[:, c * z:(c + 1) * z]
+        # ---- prologue: stage LLR planes and syndrome planes into VMEM ----
+        if trial_mode:
+            qber = qber_ref[0, 0]
+            log_p = jnp.log((1.0 - qber) / qber)
+            for c in range(nb):
+                bob_c = bob_ref[:, c * z:(c + 1) * z]
+                llr_s[c] = jnp.where(bob_c == 1, -log_p, log_p).astype(dtype)
+            # Alice's syndrome per check block: parity of rolled key blocks
+            # (reference: src/array_and_matrix_operations.cpp:936-950).
+            for r in range(mb):
+                acc = None
+                for (e, c, s) in rows[r]:
+                    a_c = alice_ref[:, c * z:(c + 1) * z]
+                    contrib = pltpu.roll(a_c, (-s) % z, axis=1)
+                    acc = contrib if acc is None else acc ^ contrib
+                syn_s[r] = acc
+        else:
+            for c in range(nb):
+                llr_s[c] = llr_ref[:, c * z:(c + 1) * z]
+            for r in range(mb):
+                syn_s[r] = syn_ref[:, r * z:(r + 1) * z]
 
         def syn_sign_block(r):
-            # syndrome arrives as int32: Mosaic handles 32-bit vector
-            # compare/rotate; int8 vector ops hit compiler gaps.
-            blk = syn_ref[:, r * z:(r + 1) * z]
-            return jnp.where(blk == 1, -1.0, 1.0).astype(dtype)
-
-        def syn_bits_block(r):
-            return syn_ref[:, r * z:(r + 1) * z]
+            return jnp.where(syn_s[r] == 1, -1.0, 1.0).astype(dtype)
 
         # ---- init: check-aligned channel LLRs, initial decisions ----
         for r in range(mb):
             for (e, c, s) in rows[r]:
-                msg[e] = pltpu.roll(llr_block(c), (-s) % z, axis=1)
+                msg[e] = pltpu.roll(llr_s[c], (-s) % z, axis=1)
         for c in range(nb):
-            d0 = (llr_block(c) <= 0).astype(jnp.int32)
+            d0 = (llr_s[c] <= 0).astype(jnp.int32)
             dec[c] = d0
             frz[c] = d0
 
         def dsyn_mismatch(r):
-            """[TB, Z] int8: 1 where check (r, .) is unsatisfied by the
+            """[TB, Z] int32: 1 where check (r, .) is unsatisfied by the
             current decisions."""
             acc = None
             for (e, c, s) in rows[r]:
                 contrib = pltpu.roll(dec[c], (-s) % z, axis=1)
                 acc = contrib if acc is None else acc ^ contrib
-            return acc ^ syn_bits_block(r)
+            return acc ^ syn_s[r]
 
         def check_pass(factors):
             """factors: None (non-adaptive) or list of [TB, Z] per row."""
@@ -179,7 +199,7 @@ def make_pallas_qc_decoder(
         def bit_pass():
             for c in range(nb):
                 es = [pltpu.roll(msg[e], s % z, axis=1) for (e, r, s) in cols[c]]
-                total = llr_block(c)
+                total = llr_s[c]
                 for ep in es:
                     total = total + ep
                 dec[c] = (total <= 0).astype(jnp.int32)
@@ -244,47 +264,95 @@ def make_pallas_qc_decoder(
             cond, body, (jnp.int32(0), converged0, iters0)
         )
 
-        for c in range(nb):
-            final = jnp.where(converged != 0, frz[c], dec[c])
-            dec_out[:, c * z:(c + 1) * z] = final.astype(jnp.int8)
-        conv_out[:, :] = converged.astype(jnp.int8)
-        iter_out[:, :] = iters
+        if trial_mode:
+            km = None
+            for c in range(nb):
+                final = jnp.where(converged != 0, frz[c], dec[c])
+                a_c = alice_ref[:, c * z:(c + 1) * z]
+                col_ok = jnp.all(final == a_c, axis=1, keepdims=True)
+                km = col_ok if km is None else km & col_ok
+            conv_out[:, :] = converged.astype(jnp.int8)
+            keys_out[:, :] = km.astype(jnp.int8)
+            iter_out[:, :] = iters
+        else:
+            for c in range(nb):
+                final = jnp.where(converged != 0, frz[c], dec[c])
+                dec_out[:, c * z:(c + 1) * z] = final.astype(jnp.int8)
+            conv_out[:, :] = converged.astype(jnp.int8)
+            iter_out[:, :] = iters
 
-    def run_tiles(llr, syndrome, primary, secondary, threshold):
-        b = llr.shape[0]
-        assert b % tb == 0
-        num_tiles = b // tb
-        out_shapes = (
-            jax.ShapeDtypeStruct((b, n), jnp.int8),
-            jax.ShapeDtypeStruct((b, 1), jnp.int8),
-            jax.ShapeDtypeStruct((b, 1), jnp.int32),
-        )
-        scalar_spec = pl.BlockSpec(
-            (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
-        )
+    scratch_shapes = [
+        pltpu.VMEM((num_be, tb, z), dtype),   # messages / extrinsics
+        pltpu.VMEM((nb, tb, z), jnp.int32),   # decisions
+        pltpu.VMEM((nb, tb, z), jnp.int32),   # frozen decisions
+        pltpu.VMEM((nb, tb, z), dtype),       # LLR planes
+        pltpu.VMEM((mb, tb, z), jnp.int32),   # syndrome planes
+    ]
+    scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    def call(num_tiles, b, *operands):
+        if trial_mode:
+            in_specs = [
+                pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                scalar_spec, scalar_spec, scalar_spec, scalar_spec,
+            ]
+            out_shape = (
+                jax.ShapeDtypeStruct((b, 1), jnp.int8),
+                jax.ShapeDtypeStruct((b, 1), jnp.int8),
+                jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            )
+            out_specs = tuple(
+                pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+                for _ in range(3)
+            )
+        else:
+            in_specs = [
+                pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                scalar_spec, scalar_spec, scalar_spec,
+            ]
+            out_shape = (
+                jax.ShapeDtypeStruct((b, n), jnp.int8),
+                jax.ShapeDtypeStruct((b, 1), jnp.int8),
+                jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            )
+            out_specs = (
+                pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            )
         return pl.pallas_call(
             kernel,
             grid=(num_tiles,),
-            in_specs=[
-                pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tb, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                scalar_spec,
-                scalar_spec,
-                scalar_spec,
-            ],
-            out_specs=(
-                pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            ),
-            out_shape=out_shapes,
-            scratch_shapes=[
-                pltpu.VMEM((num_be, tb, z), dtype),
-                pltpu.VMEM((nb, tb, z), jnp.int32),
-                pltpu.VMEM((nb, tb, z), jnp.int32),
-            ],
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
             interpret=interpret,
-        )(llr, syndrome, primary, secondary, threshold)
+        )(*operands)
+
+    return call, dtype, tb, n, m
+
+
+def make_pallas_qc_decoder(
+    qc: QCMatrix,
+    algorithm: DecodingAlgorithm,
+    max_iterations: int,
+    use_threshold: bool,
+    dtype=jnp.float32,
+    batch_tile: int = 16,
+    interpret: bool = False,
+) -> Callable[..., DecodeResult]:
+    """Fused decode kernel. Same call signature as make_decoder:
+    ``decode(llr_ext [B,N], syndrome_ext [B,M] int8, primary, secondary,
+    threshold) -> DecodeResult``. The wrapper pads B to the batch tile."""
+    if jnp.dtype(dtype) != jnp.float32:
+        raise ValueError("pallas QC decoder is float32-only")
+    call, fdtype, tb, n, m = _build(
+        qc, algorithm, max_iterations, use_threshold, batch_tile, interpret,
+        trial_mode=False,
+    )
 
     def decode(
         llr_ext: jax.Array,
@@ -295,15 +363,18 @@ def make_pallas_qc_decoder(
     ) -> DecodeResult:
         b = llr_ext.shape[0]
         pad = (-b) % tb
-        llr = jnp.pad(llr_ext.astype(dtype), ((0, pad), (0, 0)))
+        llr = jnp.pad(llr_ext.astype(fdtype), ((0, pad), (0, 0)))
         # Padding frames get the all-zero syndrome and positive LLRs -> they
         # converge on iteration 1 and never hold a tile open.
         llr = llr.at[b:, :].set(1.0) if pad else llr
         syndrome = jnp.pad(syndrome_ext.astype(jnp.int32), ((0, pad), (0, 0)))
-        prim = jnp.full((1, 1), primary, dtype)
-        sec = jnp.full((1, 1), secondary, dtype)
-        thr = jnp.full((1, 1), threshold, dtype)
-        dec, conv, iters = run_tiles(llr, syndrome, prim, sec, thr)
+        prim = jnp.full((1, 1), primary, fdtype)
+        sec = jnp.full((1, 1), secondary, fdtype)
+        thr = jnp.full((1, 1), threshold, fdtype)
+        bp = b + pad
+        dec, conv, iters = call(
+            bp // tb, bp, llr, syndrome, prim, sec, thr
+        )
         return DecodeResult(
             decision=dec[:b],
             syndromes_match=conv[:b, 0].astype(bool),
@@ -311,3 +382,51 @@ def make_pallas_qc_decoder(
         )
 
     return decode
+
+
+def make_pallas_qc_trial(
+    qc: QCMatrix,
+    algorithm: DecodingAlgorithm,
+    max_iterations: int,
+    use_threshold: bool,
+    batch_tile: int = 16,
+    interpret: bool = False,
+) -> Callable:
+    """Fused Monte-Carlo trial kernel (the sweep driver's hot path).
+
+    ``trial(alice [B,N] int8, bob [B,N] int8, qber, primary, secondary,
+    threshold) -> (syndromes_match [B] bool, keys_match [B] bool,
+    iterations [B] int32)``
+
+    Everything between the raw keys and the per-frame statistics — Alice's
+    syndrome, channel LLRs, the full decode, the key comparison — happens
+    inside the kernel with state in VMEM.
+    """
+    call, fdtype, tb, n, m = _build(
+        qc, algorithm, max_iterations, use_threshold, batch_tile, interpret,
+        trial_mode=True,
+    )
+
+    def trial(alice, bob, qber, primary=1.0, secondary=1.0, threshold=0.0):
+        b = alice.shape[0]
+        pad = (-b) % tb
+        # Padding frames: alice == bob == 0 -> zero syndrome, all-positive
+        # LLRs, converge on iteration 1. Keys go in as int32 (int8 blocks
+        # would force a 32-row minimum tile).
+        alice = jnp.pad(alice.astype(jnp.int32), ((0, pad), (0, 0)))
+        bob = jnp.pad(bob.astype(jnp.int32), ((0, pad), (0, 0)))
+        qb = jnp.full((1, 1), qber, fdtype)
+        prim = jnp.full((1, 1), primary, fdtype)
+        sec = jnp.full((1, 1), secondary, fdtype)
+        thr = jnp.full((1, 1), threshold, fdtype)
+        bp = b + pad
+        conv, keys, iters = call(
+            bp // tb, bp, alice, bob, qb, prim, sec, thr
+        )
+        return (
+            conv[:b, 0].astype(bool),
+            keys[:b, 0].astype(bool),
+            iters[:b, 0],
+        )
+
+    return trial

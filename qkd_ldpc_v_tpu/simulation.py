@@ -330,13 +330,27 @@ def _build_step(
     dtype = jnp.dtype(dtype)
     n_bits = matrix.num_bit_nodes
     bit_order = jnp.asarray(layout.bit_order)
-    if use_pallas and matrix.qc is not None and dtype == jnp.float32:
+    pallas_active = (
+        use_pallas and matrix.qc is not None and dtype == jnp.float32
+    )
+    interpret = jax.default_backend() == "cpu"
+    trial_kernel = None
+    if pallas_active and not rate_adaptive:
+        # Fastest path: the fused trial kernel computes syndrome, LLRs,
+        # decode, and key comparison entirely in VMEM.
+        from qkd_ldpc_v_tpu.ops.pallas_qc import make_pallas_qc_trial
+
+        trial_kernel = make_pallas_qc_trial(
+            matrix.qc, algorithm, max_iterations, use_threshold,
+            interpret=interpret,
+        )
+        decode = None
+    elif pallas_active:
         from qkd_ldpc_v_tpu.ops.pallas_qc import make_pallas_qc_decoder
 
-        # Fused VMEM-resident kernel; interpret mode keeps CPU runs working.
         decode = make_pallas_qc_decoder(
             matrix.qc, algorithm, max_iterations, use_threshold,
-            interpret=jax.default_backend() == "cpu",
+            interpret=interpret,
         )
     else:
         decode = get_decoder(
@@ -368,6 +382,10 @@ def _build_step(
             bob_full = inject_errors(ke, alice_full, num_errors)
             alice = select(alice_full, sel)
             bob = select(bob_full, sel)
+            if trial_kernel is not None:
+                return trial_kernel(
+                    alice, bob, qber, primary, secondary, threshold
+                )
             log_p = jnp.log((1.0 - qber) / qber).astype(dtype)
             llr = jnp.where(bob == 1, -log_p, log_p).astype(dtype)
             return decode_tail(llr, alice, primary, secondary, threshold)
