@@ -43,23 +43,26 @@ def inject_errors(
 ) -> jax.Array:
     """Bob's keys: flip exactly ``num_errors`` distinct positions per frame.
 
-    Positions are the ranks of the smallest i.i.d. uniforms — a uniformly
-    random subset of exactly that size, matching the reference's shuffled
-    position vector (src/array_and_matrix_operations.cpp:917-931).
+    Positions are the ranks of the smallest per-position sort keys — a
+    uniformly random subset of exactly that size, matching the reference's
+    shuffled position vector (src/array_and_matrix_operations.cpp:917-931).
+    Sort keys are random high bits with the position index in the low bits:
+    all keys are distinct by construction, so the count is *exact* even when
+    raw random draws collide (f32 uniforms tie at the threshold in ~0.1% of
+    10k-bit frames; the positions carrying a tied draw are exchangeable, so
+    index tie-breaking keeps the subset distribution uniform).
     """
     batch, n = alice.shape
-    u = jax.random.uniform(key, (batch, n))
-    # Threshold at the num_errors-th smallest value per frame.
-    su = jnp.sort(u, axis=1)
+    idx_bits = max(1, (n - 1).bit_length())
+    bits = jax.random.bits(key, (batch, n), jnp.uint32)
+    pos = jax.lax.broadcasted_iota(jnp.uint32, (batch, n), 1)
+    keys = (bits >> idx_bits << idx_bits) | pos
+    sk = jnp.sort(keys, axis=1)
     ne = jnp.asarray(num_errors, dtype=jnp.int32)
-    kth = jnp.where(
-        ne > 0,
-        jnp.take_along_axis(
-            su, jnp.broadcast_to(jnp.maximum(ne - 1, 0), (batch,))[:, None], axis=1
-        )[:, 0],
-        -1.0,
-    )
-    flips = (u <= kth[:, None]).astype(jnp.int8)
+    kth = jnp.take_along_axis(
+        sk, jnp.broadcast_to(jnp.maximum(ne - 1, 0), (batch,))[:, None], axis=1
+    )[:, 0]
+    flips = ((keys <= kth[:, None]) & (ne > 0)).astype(jnp.int8)
     return alice ^ flips
 
 

@@ -72,7 +72,7 @@ def _build(
     use_threshold: bool,
     batch_tile: int,
     interpret: bool,
-    trial_mode: bool,
+    mode: str,  # "decode" | "trial" | "mc"
 ):
     dtype = jnp.dtype(jnp.float32)
     z = qc.lifting
@@ -98,11 +98,18 @@ def _build(
             return jnp.clip(x, -threshold, threshold)
         return x
 
+    idx_bits = max(1, (n - 1).bit_length())
+
     def kernel(*args):
-        if trial_mode:
+        alice_s = None
+        if mode == "trial":
             (alice_ref, bob_ref, qber_ref, prim_ref, sec_ref, thr_ref,
              conv_out, keys_out, iter_out,
              msg, dec, frz, llr_s, syn_s) = args
+        elif mode == "mc":
+            (seed_ref, ne_ref, qber_ref, prim_ref, sec_ref, thr_ref,
+             conv_out, keys_out, iter_out,
+             msg, dec, frz, llr_s, syn_s, alice_s, ekeys) = args
         else:
             (llr_ref, syn_ref, prim_ref, sec_ref, thr_ref,
              dec_out, conv_out, iter_out,
@@ -111,22 +118,68 @@ def _build(
         secondary = sec_ref[0, 0]
         threshold = thr_ref[0, 0]
 
-        # ---- prologue: stage LLR planes and syndrome planes into VMEM ----
-        if trial_mode:
-            qber = qber_ref[0, 0]
-            log_p = jnp.log((1.0 - qber) / qber)
-            for c in range(nb):
-                bob_c = bob_ref[:, c * z:(c + 1) * z]
-                llr_s[c] = jnp.where(bob_c == 1, -log_p, log_p).astype(dtype)
+        def alice_block(c):
+            return alice_s[c] if mode == "mc" else alice_ref[:, c * z:(c + 1) * z]
+
+        def stage_syndrome_from_alice():
             # Alice's syndrome per check block: parity of rolled key blocks
             # (reference: src/array_and_matrix_operations.cpp:936-950).
             for r in range(mb):
                 acc = None
                 for (e, c, s) in rows[r]:
-                    a_c = alice_ref[:, c * z:(c + 1) * z]
-                    contrib = pltpu.roll(a_c, (-s) % z, axis=1)
+                    contrib = pltpu.roll(alice_block(c), (-s) % z, axis=1)
                     acc = contrib if acc is None else acc ^ contrib
                 syn_s[r] = acc
+
+        # ---- prologue: stage LLR planes and syndrome planes into VMEM ----
+        if mode == "trial":
+            qber = qber_ref[0, 0]
+            log_p = jnp.log((1.0 - qber) / qber)
+            for c in range(nb):
+                bob_c = bob_ref[:, c * z:(c + 1) * z]
+                llr_s[c] = jnp.where(bob_c == 1, -log_p, log_p).astype(dtype)
+            stage_syndrome_from_alice()
+        elif mode == "mc":
+            # Whole Monte-Carlo trial in-kernel: generate Alice's keys and
+            # exactly-num_errors error positions from the per-tile PRNG
+            # stream (reference channel semantics:
+            # src/array_and_matrix_operations.cpp:889-933).
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+            qber = qber_ref[0, 0]
+            num_errors = ne_ref[0, 0]
+            log_p = jnp.log((1.0 - qber) / qber)
+            for c in range(nb):
+                abits = pltpu.bitcast(
+                    pltpu.prng_random_bits((tb, z)), jnp.uint32
+                )
+                alice_s[c] = (abits & 1).astype(jnp.int32)
+            for c in range(nb):
+                ebits = pltpu.bitcast(
+                    pltpu.prng_random_bits((tb, z)), jnp.uint32
+                )
+                pos = (
+                    jax.lax.broadcasted_iota(jnp.int32, (tb, z), 1) + c * z
+                ).astype(jnp.uint32)
+                # Unique per-position sort keys: random high bits, position
+                # low bits -> the count of selected flips is exact.
+                ekeys[c] = (ebits >> idx_bits << idx_bits) | pos
+            # Per-frame num_errors-th smallest key via 32-pass bitwise
+            # selection (keys are unique, so count(<= kth) == num_errors).
+            t = jnp.zeros((tb, 1), jnp.uint32)
+            for b in reversed(range(32)):
+                cand = t | jnp.uint32(1 << b)
+                cnt = jnp.zeros((tb, 1), jnp.int32)
+                for c in range(nb):
+                    cnt = cnt + jnp.sum(
+                        (ekeys[c] < cand).astype(jnp.int32),
+                        axis=1, keepdims=True,
+                    )
+                t = jnp.where(cnt < num_errors, cand, t)
+            for c in range(nb):
+                flip = (ekeys[c] <= t).astype(jnp.int32)
+                bob_c = alice_s[c] ^ flip
+                llr_s[c] = jnp.where(bob_c == 1, -log_p, log_p).astype(dtype)
+            stage_syndrome_from_alice()
         else:
             for c in range(nb):
                 llr_s[c] = llr_ref[:, c * z:(c + 1) * z]
@@ -264,12 +317,11 @@ def _build(
             cond, body, (jnp.int32(0), converged0, iters0)
         )
 
-        if trial_mode:
+        if mode in ("trial", "mc"):
             km = None
             for c in range(nb):
                 final = jnp.where(converged != 0, frz[c], dec[c])
-                a_c = alice_ref[:, c * z:(c + 1) * z]
-                col_ok = jnp.all(final == a_c, axis=1, keepdims=True)
+                col_ok = jnp.all(final == alice_block(c), axis=1, keepdims=True)
                 km = col_ok if km is None else km & col_ok
             conv_out[:, :] = converged.astype(jnp.int8)
             keys_out[:, :] = km.astype(jnp.int8)
@@ -288,10 +340,30 @@ def _build(
         pltpu.VMEM((nb, tb, z), dtype),       # LLR planes
         pltpu.VMEM((mb, tb, z), jnp.int32),   # syndrome planes
     ]
+    if mode == "mc":
+        scratch_shapes += [
+            pltpu.VMEM((nb, tb, z), jnp.int32),   # Alice key planes
+            pltpu.VMEM((nb, tb, z), jnp.uint32),  # error sort keys
+        ]
     scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
     def call(num_tiles, b, *operands):
-        if trial_mode:
+        if mode == "mc":
+            smem_i32 = pl.BlockSpec(
+                (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+            )
+            in_specs = [smem_i32, smem_i32, scalar_spec, scalar_spec,
+                        scalar_spec, scalar_spec]
+            out_shape = (
+                jax.ShapeDtypeStruct((b, 1), jnp.int8),
+                jax.ShapeDtypeStruct((b, 1), jnp.int8),
+                jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            )
+            out_specs = tuple(
+                pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+                for _ in range(3)
+            )
+        elif mode == "trial":
             in_specs = [
                 pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -351,7 +423,7 @@ def make_pallas_qc_decoder(
         raise ValueError("pallas QC decoder is float32-only")
     call, fdtype, tb, n, m = _build(
         qc, algorithm, max_iterations, use_threshold, batch_tile, interpret,
-        trial_mode=False,
+        mode="decode",
     )
 
     def decode(
@@ -404,7 +476,7 @@ def make_pallas_qc_trial(
     """
     call, fdtype, tb, n, m = _build(
         qc, algorithm, max_iterations, use_threshold, batch_tile, interpret,
-        trial_mode=True,
+        mode="trial",
     )
 
     def trial(alice, bob, qber, primary=1.0, secondary=1.0, threshold=0.0):
@@ -430,3 +502,50 @@ def make_pallas_qc_trial(
         )
 
     return trial
+
+
+def make_pallas_qc_montecarlo(
+    qc: QCMatrix,
+    algorithm: DecodingAlgorithm,
+    max_iterations: int,
+    use_threshold: bool,
+    batch: int,
+    batch_tile: int = 16,
+    interpret: bool = False,
+) -> Callable:
+    """Fully in-kernel Monte-Carlo trials: PRNG, channel, decode, stats.
+
+    ``mc(seed int32, num_errors int32, qber, primary, secondary, threshold)
+    -> (syndromes_match [B] bool, keys_match [B] bool, iterations [B] int32)``
+
+    Each batch tile seeds the hardware PRNG with ``seed + tile_index`` and
+    generates Alice's keys plus an exactly-``num_errors`` uniform error
+    subset in VMEM — the only HBM traffic of an entire trial batch is three
+    [B]-sized result vectors. The random stream is the TPU hardware PRNG,
+    not the host threefry stream, so cross-implementation comparisons are
+    statistical rather than bitwise.
+    """
+    if batch % batch_tile:
+        raise ValueError("batch must be a multiple of batch_tile")
+    call, fdtype, tb, n, m = _build(
+        qc, algorithm, max_iterations, use_threshold, batch_tile, interpret,
+        mode="mc",
+    )
+
+    def mc(seed, num_errors, qber, primary=1.0, secondary=1.0, threshold=0.0):
+        sd = jnp.full((1, 1), seed, jnp.int32)
+        ne = jnp.full((1, 1), num_errors, jnp.int32)
+        qb = jnp.full((1, 1), qber, fdtype)
+        prim = jnp.full((1, 1), primary, fdtype)
+        sec = jnp.full((1, 1), secondary, fdtype)
+        thr = jnp.full((1, 1), threshold, fdtype)
+        conv, keys, iters = call(
+            batch // tb, batch, sd, ne, qb, prim, sec, thr
+        )
+        return (
+            conv[:, 0].astype(bool),
+            keys[:, 0].astype(bool),
+            iters[:, 0],
+        )
+
+    return mc

@@ -335,15 +335,25 @@ def _build_step(
     )
     interpret = jax.default_backend() == "cpu"
     trial_kernel = None
+    mc_kernel = None
     if pallas_active and not rate_adaptive:
-        # Fastest path: the fused trial kernel computes syndrome, LLRs,
-        # decode, and key comparison entirely in VMEM.
-        from qkd_ldpc_v_tpu.ops.pallas_qc import make_pallas_qc_trial
+        if not interpret and select_size <= 0:
+            # Fastest path: PRNG, channel, decode, and statistics entirely
+            # in-kernel (TPU only — the hardware PRNG has no CPU interpret).
+            from qkd_ldpc_v_tpu.ops.pallas_qc import make_pallas_qc_montecarlo
 
-        trial_kernel = make_pallas_qc_trial(
-            matrix.qc, algorithm, max_iterations, use_threshold,
-            interpret=interpret,
-        )
+            mc_kernel = make_pallas_qc_montecarlo(
+                matrix.qc, algorithm, max_iterations, use_threshold,
+                batch=batch,
+            )
+        else:
+            # Trial kernel: host-generated keys, everything else in VMEM.
+            from qkd_ldpc_v_tpu.ops.pallas_qc import make_pallas_qc_trial
+
+            trial_kernel = make_pallas_qc_trial(
+                matrix.qc, algorithm, max_iterations, use_threshold,
+                interpret=interpret,
+            )
         decode = None
     elif pallas_active:
         from qkd_ldpc_v_tpu.ops.pallas_qc import make_pallas_qc_decoder
@@ -378,6 +388,13 @@ def _build_step(
         def base_step(ka, ke, kp, qber, num_errors, primary, secondary,
                       threshold, pos_class, payload_gather, sel=None):
             del kp, pos_class, payload_gather
+            if mc_kernel is not None:
+                seed = jax.lax.bitcast_convert_type(
+                    jax.random.bits(ka, (), jnp.uint32), jnp.int32
+                )
+                return mc_kernel(
+                    seed, num_errors, qber, primary, secondary, threshold
+                )
             alice_full = generate_keys(ka, batch, n_bits)
             bob_full = inject_errors(ke, alice_full, num_errors)
             alice = select(alice_full, sel)

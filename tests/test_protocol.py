@@ -150,3 +150,19 @@ def test_shortened_bits_never_flip(matrix):
     # frame converged (alice_ext is 0 there and keys matched)
     ok = np.asarray(res.keys_match)
     assert ok.any()
+
+
+def test_inject_errors_exact_count_under_collisions():
+    """Exactly floor(N*q) flips per frame even when raw random draws
+    collide (the sort keys are unique by construction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qkd_ldpc_v_tpu.ops.channel import generate_keys, inject_errors
+
+    key = jax.random.PRNGKey(123)
+    alice = generate_keys(key, 64, 4096)
+    for ne in (0, 1, 122, 2048):
+        bob = inject_errors(jax.random.fold_in(key, ne), alice, ne)
+        flips = np.asarray(bob ^ alice).sum(axis=1)
+        assert (flips == ne).all(), (ne, flips.min(), flips.max())
