@@ -66,11 +66,13 @@ Core keys (all required, as in the reference schema):
                                 (ascending code_rate) with code_rate >= the
                                 matrix's rate wins.
   decoding_algorithm_max_iterations   int >= 1. Iteration cap (typ. 100).
-  matrix_format                 int 0..3:
+  matrix_format                 int 0..4:
                                   0 uncompressed dense 0/1 text
                                   1 alist
                                   2 sparse_1 (MacKay/PEG, 1-based rows)
                                   3 sparse_2 ("N M" header, rows then cols)
+                                  4 quasi-cyclic base-graph shifts
+                                    (TPU extension; directory matrices_qc)
   trace_qkd_ldpc                bool. Dump protocol-level tensors.
   trace_decoding_algorithm      bool. Dump per-iteration decoder tensors.
   trace_decoding_algorithm_llr  bool. Track the max-|LLR| watermark.
@@ -96,7 +98,11 @@ TPU extensions (optional "tpu" object; defaults keep reference semantics):
                                 (0 = all trials at once).
   tpu.dtype                     float32 | float64 | bfloat16. Decoder message
                                 precision (float64 = reference-parity mode).
-  tpu.use_pallas                bool. Use fused Pallas decoder kernels.
+  tpu.use_pallas                bool. Route quasi-cyclic matrices through
+                                the fused Pallas decoder kernels.
+  tpu.phase1_iterations         int. Exact two-phase straggler re-decode:
+                                -1 auto (cap/2 when cap >= 64), 0 off,
+                                >0 explicit phase-1 cap.
 
 Results: one CSV per config in the results directory, semicolon-separated
 with comma decimal marks; filename encodes trials, algorithm, iteration cap,
@@ -163,6 +169,15 @@ def _progress_printer(quiet: bool):
     return cb
 
 
+def _color(code: str, text: str) -> str:
+    """ANSI color when stdout is a terminal (the reference prints its
+    banner/results/errors in color, reference: src/config.cpp:52-86,
+    src/main.cpp:186-197)."""
+    if not sys.stdout.isatty():
+        return text
+    return f"\033[{code}m{text}\033[0m"
+
+
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
     if args.help_config:
@@ -178,7 +193,7 @@ def main(argv=None) -> int:
             return 1
         for i, config_path in enumerate(config_paths):
             cfg = parse_config_data(config_path)
-            print(format_config_info(cfg, config_path.name, i + 1))
+            print(_color('96', format_config_info(cfg, config_path.name, i + 1)))
             matrix_dir = args.matrices / cfg.matrix_format.directory_name
             matrix_paths = get_file_paths_in_directory(
                 matrix_dir, args.matrix_ext
@@ -199,11 +214,12 @@ def main(argv=None) -> int:
             duration = format_duration(time.monotonic() - start)
 
             result_path = write_file(results, cfg, duration, args.results)
-            print(f"The results are written to the file: {result_path}\n")
+            print(_color("92", f"The results are written to the file: {result_path}")
+                  + "\n")
     except Exception as e:  # noqa: BLE001 — mirror reference catch-all
-        print(f"ERROR: {e}", file=sys.stderr)
+        print(_color("91", f"ERROR: {e}"), file=sys.stderr)
         return 1
-    print("Simulations successfully completed!")
+    print(_color("92", "Simulations successfully completed!"))
     return 0
 
 

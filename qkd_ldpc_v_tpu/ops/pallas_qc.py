@@ -222,18 +222,16 @@ def _build(
                             (2.0 * atanh_fn(row_prod / t)).astype(dtype), threshold
                         )
                 else:
+                    # Pairwise two-minimum chain: exact multiset semantics,
+                    # so a tie at the minimum yields min2 == min1 exactly as
+                    # the reference's sequential update (:381-397).
                     a = [jnp.abs(mm) for mm in msgs]
                     min1 = a[0]
-                    for ai in a[1:]:
-                        min1 = jnp.minimum(min1, ai)
-                    cnt = jnp.zeros_like(min1, jnp.int32)
                     min2 = jnp.full_like(min1, big)
-                    for ai in a:
-                        is_min = ai == min1
-                        cnt = cnt + is_min.astype(jnp.int32)
-                        min2 = jnp.minimum(min2, jnp.where(is_min, big, ai))
-                    min2 = jnp.where(cnt >= 2, min1, min2)
-                    neg = jnp.zeros_like(cnt)
+                    for ai in a[1:]:
+                        min2 = jnp.minimum(min2, jnp.maximum(min1, ai))
+                        min1 = jnp.minimum(min1, ai)
+                    neg = jnp.zeros(min1.shape, jnp.int32)
                     for mm in msgs:
                         neg = neg + (mm < 0).astype(jnp.int32)
                     row_sign = ss * jnp.where(neg % 2 == 0, 1.0, -1.0).astype(dtype)

@@ -106,3 +106,23 @@ def test_psum_stats_matches_host_aggregation():
     assert it_sumsq == pytest.approx((iters[syn] ** 2).sum())
     assert it_min == iters[syn].min()
     assert it_max == iters[syn].max()
+
+
+def test_mesh_with_pallas_interpret(medium_matrix):
+    """The data mesh composes with the fused (interpret-mode) kernel: each
+    device runs its own pallas grid over its shard."""
+    from qkd_ldpc_v_tpu.models.qc import generate_qc_peg
+
+    matrix = generate_qc_peg(8, 4, 128, 3, seed=3).to_hmatrix()
+    cfg = _cfg(
+        trials_number=16,
+        decoding_algorithm=DecodingAlgorithm.NMSA,
+        use_pallas=True,
+    )
+    mesh = make_data_mesh(2)
+    comb = SimCombination(0.02, HMatrixParams(), ScalingFactors(primary=0.75))
+    res = run_combination(
+        matrix, comb, cfg, sim_number=0, step_factory=mesh_step_factory(mesh)
+    )
+    assert 0.0 <= res.ratio_trials_success_ldpc <= 1.0
+    assert res.iter_success_mean > 0
