@@ -145,11 +145,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--quiet", action="store_true", help="suppress progress output"
     )
+    p.add_argument(
+        "--profile", type=Path, default=None, metavar="DIR",
+        help=(
+            "capture a jax.profiler trace of the whole campaign into DIR "
+            "(view with TensorBoard / xprof)"
+        ),
+    )
     return p
 
 
 def _progress_printer(quiet: bool):
-    state = {"done": 0, "last": -1.0}
+    state = {"done": 0, "last": -1.0, "t0": time.monotonic()}
 
     def cb(inc: int, total: int) -> None:
         if quiet:
@@ -159,8 +166,12 @@ def _progress_printer(quiet: bool):
         if now - state["last"] >= 0.5 or state["done"] >= total:
             state["last"] = now
             pct = 100.0 * state["done"] / total
+            elapsed = now - state["t0"]
+            # ETA like the reference's progress bar (src/simulation.cpp:703-709)
+            eta = elapsed * (total - state["done"]) / max(state["done"], 1)
             print(
-                f"\rPROGRESS [{state['done']}/{total}] {pct:5.1f}%",
+                f"\rPROGRESS [{state['done']}/{total}] {pct:5.1f}% "
+                f"elapsed {elapsed:5.0f}s eta {eta:5.0f}s",
                 end="", flush=True,
             )
             if state["done"] >= total:
@@ -186,6 +197,13 @@ def main(argv=None) -> int:
 
     logging.basicConfig(level=logging.WARNING, format="%(message)s")
     enable_compilation_cache()
+    profiler_ctx = None
+    if args.profile is not None:
+        import jax
+
+        args.profile.mkdir(parents=True, exist_ok=True)
+        profiler_ctx = jax.profiler.trace(str(args.profile))
+        profiler_ctx.__enter__()
     try:
         config_paths = get_file_paths_in_directory(args.configs, ".json")
         if not config_paths:
@@ -219,6 +237,9 @@ def main(argv=None) -> int:
     except Exception as e:  # noqa: BLE001 — mirror reference catch-all
         print(_color("91", f"ERROR: {e}"), file=sys.stderr)
         return 1
+    finally:
+        if profiler_ctx is not None:
+            profiler_ctx.__exit__(None, None, None)
     print(_color("92", "Simulations successfully completed!"))
     return 0
 
