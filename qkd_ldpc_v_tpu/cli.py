@@ -156,19 +156,25 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def _progress_printer(quiet: bool):
-    state = {"done": 0, "last": -1.0, "t0": time.monotonic()}
+    # `base` counts trials credited within 2s of startup (checkpoint
+    # restores); they are excluded from the ETA rate so a resumed campaign
+    # doesn't report a near-zero ETA.
+    state = {"done": 0, "base": 0, "last": -1.0, "t0": time.monotonic()}
 
     def cb(inc: int, total: int) -> None:
         if quiet:
             return
-        state["done"] += inc
         now = time.monotonic()
+        state["done"] += inc
+        if now - state["t0"] < 2.0:
+            state["base"] = state["done"]
         if now - state["last"] >= 0.5 or state["done"] >= total:
             state["last"] = now
             pct = 100.0 * state["done"] / total
             elapsed = now - state["t0"]
             # ETA like the reference's progress bar (src/simulation.cpp:703-709)
-            eta = elapsed * (total - state["done"]) / max(state["done"], 1)
+            session_done = max(state["done"] - state["base"], 1)
+            eta = elapsed * (total - state["done"]) / session_done
             print(
                 f"\rPROGRESS [{state['done']}/{total}] {pct:5.1f}% "
                 f"elapsed {elapsed:5.0f}s eta {eta:5.0f}s",
@@ -197,14 +203,14 @@ def main(argv=None) -> int:
 
     logging.basicConfig(level=logging.WARNING, format="%(message)s")
     enable_compilation_cache()
-    profiler_ctx = None
-    if args.profile is not None:
-        import jax
-
-        args.profile.mkdir(parents=True, exist_ok=True)
-        profiler_ctx = jax.profiler.trace(str(args.profile))
-        profiler_ctx.__enter__()
+    profiling = False
     try:
+        if args.profile is not None:
+            import jax
+
+            args.profile.mkdir(parents=True, exist_ok=True)
+            jax.profiler.start_trace(str(args.profile))
+            profiling = True
         config_paths = get_file_paths_in_directory(args.configs, ".json")
         if not config_paths:
             print(f"No *.json configs found in {args.configs}", file=sys.stderr)
@@ -238,8 +244,10 @@ def main(argv=None) -> int:
         print(_color("91", f"ERROR: {e}"), file=sys.stderr)
         return 1
     finally:
-        if profiler_ctx is not None:
-            profiler_ctx.__exit__(None, None, None)
+        if profiling:
+            import jax
+
+            jax.profiler.stop_trace()
     print(_color("92", "Simulations successfully completed!"))
     return 0
 
