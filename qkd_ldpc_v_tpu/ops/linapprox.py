@@ -1,8 +1,10 @@
 """Piecewise-linear tanh/atanh approximations for the SPA-LIN-APPROX decoder.
 
 Same segment boundaries and coefficients as the reference
-(reference: src/qkd_ldpc_algorithm.cpp:146-172). Vectorized with
-``jnp.select`` — on TPU this compiles to a short chain of VPU selects.
+(reference: src/qkd_ldpc_algorithm.cpp:146-172). Vectorized as a chain of
+``jnp.where`` selects (first-true-wins, like the reference's if/else
+ladder); ``jnp.select`` would lower to an indexed select_n that Mosaic
+(Pallas TPU) cannot compile.
 """
 
 from __future__ import annotations
@@ -29,20 +31,26 @@ _ATANH_COEFFS = (
 )
 
 
+def _piecewise(ax, bounds, vals, default):
+    """First-true-wins where-chain: fold from the last segment backward."""
+    res = default
+    for b, v in zip(reversed(bounds), reversed(vals)):
+        res = jnp.where(ax < b, v, res)
+    return res
+
+
 def tanh_lin_approx(x: jnp.ndarray) -> jnp.ndarray:
     """8-segment tanh approximation (|x| >= 8 saturates to 1)."""
     ax = jnp.abs(x)
-    conds = [ax < b for b in _TANH_BOUNDS]
     vals = [a * ax + b for a, b in _TANH_COEFFS]
-    res = jnp.select(conds, vals, jnp.ones_like(ax))
+    res = _piecewise(ax, _TANH_BOUNDS, vals, jnp.ones_like(ax))
     return jnp.where(x < 0, -res, res)
 
 
 def atanh_lin_approx(x: jnp.ndarray) -> jnp.ndarray:
     """4-segment atanh approximation (last segment extrapolates linearly)."""
     ax = jnp.abs(x)
-    conds = [ax < b for b in _ATANH_BOUNDS]
     vals = [a * ax + b for a, b in _ATANH_COEFFS[:-1]]
     a_last, b_last = _ATANH_COEFFS[-1]
-    res = jnp.select(conds, vals, a_last * ax + b_last)
+    res = _piecewise(ax, _ATANH_BOUNDS, vals, a_last * ax + b_last)
     return jnp.where(x < 0, -res, res)
