@@ -23,7 +23,7 @@ All four reference file formats are supported with the same validation rules:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import List, Optional
 

@@ -19,7 +19,7 @@ block. One circulant per base cell (weight-1 circulants only, like 5G NR).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

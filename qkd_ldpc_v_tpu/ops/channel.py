@@ -20,8 +20,6 @@ counter-based like the reference's per-trial Xoshiro seeding
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 

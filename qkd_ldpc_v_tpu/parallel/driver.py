@@ -19,13 +19,12 @@ src/simulation.cpp:693-768):
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from qkd_ldpc_v_tpu.config import Config
 from qkd_ldpc_v_tpu.models.hmatrix import HMatrix

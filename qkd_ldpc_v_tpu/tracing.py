@@ -14,7 +14,7 @@ are the reference-parity f64 trajectories.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, Optional
 
 import numpy as np
 

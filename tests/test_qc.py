@@ -122,3 +122,56 @@ class TestQCDecoder:
         np.testing.assert_array_equal(
             np.asarray(rq.decision), np.asarray(rg.decision)
         )
+
+
+class TestQCFileFormat:
+    def test_roundtrip(self, qc, tmp_path):
+        from qkd_ldpc_v_tpu.models.qc import read_qc_matrix, write_qc_matrix
+
+        path = tmp_path / "code.mtrx"
+        write_qc_matrix(qc, path)
+        back = read_qc_matrix(path)
+        np.testing.assert_array_equal(back.shifts, qc.shifts)
+        assert back.lifting == qc.lifting
+
+    def test_read_via_matrix_format(self, qc, tmp_path):
+        from qkd_ldpc_v_tpu.config import MatrixFormat
+        from qkd_ldpc_v_tpu.models.hmatrix import read_matrix
+        from qkd_ldpc_v_tpu.models.qc import write_qc_matrix
+
+        path = tmp_path / "code.mtrx"
+        write_qc_matrix(qc, path)
+        m = read_matrix(path, MatrixFormat.QC)
+        assert m.qc is not None
+        assert m.num_bit_nodes == qc.num_bit_nodes
+        assert m.source_path == path
+
+    def test_validation_errors(self, tmp_path):
+        from qkd_ldpc_v_tpu.models.hmatrix import MatrixFormatError
+        from qkd_ldpc_v_tpu.models.qc import read_qc_matrix
+
+        bad = tmp_path / "bad.mtrx"
+        bad.write_text("2 2 128\n0 5\n")
+        with pytest.raises(MatrixFormatError, match="Insufficient"):
+            read_qc_matrix(bad)
+        bad.write_text("1 2 128\n0 migrate\n")
+        with pytest.raises(ValueError):
+            read_qc_matrix(bad)
+        bad.write_text("1 2 128\n0 128\n")
+        with pytest.raises(MatrixFormatError, match="out of range"):
+            read_qc_matrix(bad)
+
+
+class TestQCPEG:
+    def test_peg_structure(self):
+        from qkd_ldpc_v_tpu.models.qc import generate_qc_peg
+
+        qc = generate_qc_peg(12, 6, 64, 3, seed=1)
+        h = qc.to_hmatrix()
+        h.validate_consistency()
+        assert all(len(r) == 3 for r in h.bit_nodes)
+        # 4-cycle-free
+        d = h.to_dense().astype(np.int64)
+        ov = d @ d.T
+        np.fill_diagonal(ov, 0)
+        assert ov.max() <= 1
