@@ -85,3 +85,63 @@ int64_t qkdldpc_untainted_select(int64_t n, const int32_t *n2_flat,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Fast integer tokenizer for matrix files: parses whitespace/newline-
+// separated decimal integers (the alist / format-1 / format-2 / dense and
+// .untp grammars are all "lines of ints"). Two-phase protocol:
+//   pass 1: out == nullptr -> returns token count, fills n_lines.
+//   pass 2: out/line_starts allocated by caller -> fills values and the
+//           index of each line's first token (line_starts has n_lines+1
+//           entries, CSR-style).
+// Returns -1 on malformed input (non-integer token).
+int64_t qkdldpc_parse_ints(const char *text, int64_t len, int32_t *out,
+                           int64_t *line_starts, int64_t *n_lines) {
+  int64_t count = 0;
+  int64_t line = 0;
+  int64_t i = 0;
+  const bool fill = out != nullptr;
+  if (fill && line_starts) line_starts[0] = 0;
+  while (i < len) {
+    const char ch = text[i];
+    if (ch == '\n') {
+      ++line;
+      if (fill && line_starts) line_starts[line] = count;
+      ++i;
+      continue;
+    }
+    if (ch == ' ' || ch == '\t' || ch == '\r' || ch == '\f' || ch == '\v') {
+      ++i;
+      continue;
+    }
+    bool neg = false;
+    if (ch == '-') {
+      neg = true;
+      ++i;
+      if (i >= len || text[i] < '0' || text[i] > '9') return -1;
+    } else if (ch < '0' || ch > '9') {
+      return -1;
+    }
+    int64_t v = 0;
+    while (i < len && text[i] >= '0' && text[i] <= '9') {
+      v = v * 10 + (text[i] - '0');
+      ++i;
+    }
+    if (i < len) {
+      const char t = text[i];
+      if (t != ' ' && t != '\t' && t != '\r' && t != '\n' && t != '\f' &&
+          t != '\v')
+        return -1;
+    }
+    if (fill) out[count] = static_cast<int32_t>(neg ? -v : v);
+    ++count;
+  }
+  // Trailing line without newline still counts as a line.
+  ++line;
+  if (fill && line_starts) line_starts[line] = count;
+  if (n_lines) *n_lines = line;
+  return count;
+}
+
+}  // extern "C"

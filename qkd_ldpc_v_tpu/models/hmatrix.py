@@ -128,9 +128,15 @@ def _read_int_lines(path: Path) -> List[List[int]]:
     text = path.read_text()
     if not text.strip():
         raise MatrixFormatError(f"File is empty or cannot be read properly: {path}")
-    lines = text.splitlines()
+    from qkd_ldpc_v_tpu import native
+
+    parsed = native.parse_int_lines(text)
+    if parsed is not None:
+        return parsed
+    # Pure-Python fallback (also reached for malformed tokens, to produce
+    # the reference-style error message).
     out = []
-    for line in lines:
+    for line in text.splitlines():
         try:
             out.append([int(tok) for tok in line.split()])
         except ValueError as e:

@@ -106,3 +106,54 @@ def untainted_select(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out[:count].copy()
+
+
+def _bind_parse(lib: ctypes.CDLL) -> None:
+    if getattr(lib, "_parse_bound", False):
+        return
+    lib.qkdldpc_parse_ints.restype = ctypes.c_int64
+    lib.qkdldpc_parse_ints.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib._parse_bound = True
+
+
+def parse_int_lines(text: str):
+    """Tokenize lines of integers natively; returns a list of lists of ints
+    matching the pure-Python `[int(tok) for tok in line.split()]` per
+    splitlines() line, or None when the library is absent or the text
+    contains a non-integer token (caller falls back for exact error
+    messages)."""
+    lib = load()
+    if lib is None:
+        return None
+    if not text:
+        return []
+    _bind_parse(lib)
+    raw = text.encode()
+    n_lines = ctypes.c_int64(0)
+    total = lib.qkdldpc_parse_ints(
+        raw, len(raw), None, None, ctypes.byref(n_lines)
+    )
+    if total < 0:
+        return None
+    values = np.empty(max(total, 1), dtype=np.int32)
+    starts = np.empty(n_lines.value + 1, dtype=np.int64)
+    lib.qkdldpc_parse_ints(
+        raw, len(raw),
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.byref(n_lines),
+    )
+    vals = values[:total].tolist()
+    lines = [
+        vals[starts[i]:starts[i + 1]] for i in range(n_lines.value)
+    ]
+    # splitlines() drops the empty segment after a trailing newline.
+    if text.endswith("\n") and lines and not lines[-1]:
+        lines.pop()
+    return lines

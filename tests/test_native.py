@@ -54,3 +54,46 @@ def test_greedy_result_is_untainted_and_maximal(matrix):
     for v in chosen:
         covered.update(int(u) for u in lists[v])
     assert covered == set(range(matrix.num_bit_nodes))
+
+
+class TestNativeParser:
+    CASES = [
+        "1 2 3\n4 5\n",
+        "1 2 3\n4 5",
+        "10\n\n-7 0\n",
+        "  1\t2 \r\n3\n\n",
+        "",
+        "\n\n",
+        "2147480000 -2147480000\n",
+    ]
+
+    def test_matches_python_tokenizer(self):
+        if native.load() is None:
+            pytest.skip("native library unavailable")
+        for text in self.CASES:
+            expect = [[int(t) for t in line.split()] for line in text.splitlines()]
+            got = native.parse_int_lines(text)
+            assert got == expect, repr(text)
+
+    def test_malformed_returns_none(self):
+        if native.load() is None:
+            pytest.skip("native library unavailable")
+        assert native.parse_int_lines("1 2 x\n") is None
+        assert native.parse_int_lines("1.5\n") is None
+        assert native.parse_int_lines("1-2\n") is None
+
+    def test_reader_path_uses_native(self, tmp_path):
+        """read_sparse_matrix_alist through the native tokenizer equals the
+        Python tokenizer result."""
+        from qkd_ldpc_v_tpu.models.generator import generate_regular_ldpc
+        from qkd_ldpc_v_tpu.models.hmatrix import (
+            read_sparse_matrix_alist,
+            write_alist,
+        )
+
+        mat = generate_regular_ldpc(256, 128, 3, seed=8)
+        p = tmp_path / "m.mtrx"
+        write_alist(mat, p)
+        back = read_sparse_matrix_alist(p)
+        for a, b in zip(back.check_nodes, mat.check_nodes):
+            np.testing.assert_array_equal(a, b)
