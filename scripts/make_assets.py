@@ -31,7 +31,8 @@ def main() -> int:
 
     # QC-PEG suite: the bench code plus a rate ladder.
     for nb, mb, z, cw, seed in (
-        (40, 11, 256, 4, 9),    # N=10240, R=0.725 (the bench operating point)
+        (20, 6, 512, 4, 9),     # N=10240, R=0.70 (the headline bench code)
+        (40, 11, 256, 4, 9),    # N=10240, R=0.725 (tight-efficiency point)
         (40, 8, 256, 4, 10),    # N=10240, R=0.80
         (40, 14, 256, 4, 11),   # N=10240, R=0.65
         (8, 4, 128, 3, 12),     # N=1024,  R=0.5 (small/test)
