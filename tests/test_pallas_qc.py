@@ -89,3 +89,24 @@ def test_batch_padding(qc, channel):
     np.testing.assert_array_equal(
         np.asarray(r_part.iterations), np.asarray(r_full.iterations[:5])
     )
+
+
+def test_mc_kth_selection_algorithm():
+    """NumPy mirror of the mc kernel's 32-pass bitwise k-th-smallest
+    selection over unique (rand-high-bits | position) keys: must select
+    exactly K positions, uniformly."""
+    rng = np.random.default_rng(0)
+    n = 10240
+    idx_bits = max(1, (n - 1).bit_length())
+    for k in (1, 307, 5000):
+        bits = rng.integers(0, 2**32, n, dtype=np.uint32)
+        keys = (bits >> idx_bits << idx_bits) | np.arange(n, dtype=np.uint32)
+        t = np.uint32(0)
+        for b in reversed(range(32)):
+            cand = t | np.uint32(1 << b)
+            if int((keys < cand).sum()) < k:
+                t = cand
+        sel = keys <= t
+        assert sel.sum() == k
+        # t is the k-th smallest key
+        assert t == np.sort(keys)[k - 1]
