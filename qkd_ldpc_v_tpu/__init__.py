@@ -26,5 +26,26 @@ from qkd_ldpc_v_tpu.config import (  # noqa: F401
     MatrixFormat,
     parse_config_data,
 )
-from qkd_ldpc_v_tpu.models.hmatrix import HMatrix  # noqa: F401
+from qkd_ldpc_v_tpu.models.hmatrix import HMatrix, read_matrix  # noqa: F401
 from qkd_ldpc_v_tpu.models.layout import EdgeLayout, compile_layout  # noqa: F401
+from qkd_ldpc_v_tpu.models.qc import (  # noqa: F401
+    QCMatrix,
+    generate_qc_ldpc,
+    generate_qc_peg,
+    read_qc_matrix,
+    write_qc_matrix,
+)
+from qkd_ldpc_v_tpu.protocol import (  # noqa: F401
+    ProtocolResult,
+    ProtocolSpec,
+    make_protocol_spec,
+    qkd_ldpc,
+    qkd_ldpc_rate_adapt,
+)
+from qkd_ldpc_v_tpu.simulation import (  # noqa: F401
+    SimResult,
+    prepare_sim_inputs,
+    qkd_ldpc_batch_simulation,
+    run_combination,
+    write_file,
+)
