@@ -76,9 +76,11 @@ def main() -> int:
         "trace_decoding_algorithm_llr": False,
         "enable_decoding_algorithm_msg_llr_threshold": False,
         "code_rate_QBER_ranges": [
-            {"code_rate": 0.70, "QBER": {"begin": 0.05, "end": 0.07, "step": 0.01}},
-            {"code_rate": 0.75, "QBER": {"begin": 0.02, "end": 0.04, "step": 0.01}},
-            {"code_rate": 0.85, "QBER": {"begin": 0.01, "end": 0.02, "step": 0.01}},
+            {"code_rate": 0.55, "QBER": {"begin": 0.05, "end": 0.07, "step": 0.01}},
+            {"code_rate": 0.65, "QBER": {"begin": 0.035, "end": 0.045, "step": 0.005}},
+            {"code_rate": 0.70, "QBER": {"begin": 0.025, "end": 0.035, "step": 0.005}},
+            {"code_rate": 0.75, "QBER": {"begin": 0.02, "end": 0.03, "step": 0.005}},
+            {"code_rate": 0.85, "QBER": {"begin": 0.01, "end": 0.02, "step": 0.005}},
         ],
         "enable_code_rate_adaptation": False,
         "tpu": {"batch_size": 1024, "use_pallas": True},
