@@ -134,6 +134,7 @@ def make_decoder(
     max_iterations: int,
     use_threshold: bool,
     dtype=jnp.float32,
+    edge_constraint=None,
 ) -> Callable[..., DecodeResult]:
     """Build a jittable batched decoder for one matrix layout.
 
@@ -143,11 +144,17 @@ def make_decoder(
     where primary/secondary are the algorithm's scaling factors (ignored for
     SPA variants) and threshold the optional message-LLR clamp value (traced,
     so sweeps over factors don't recompile).
+
+    ``edge_constraint`` (optional) is applied to every flat ``[E, B]``
+    message array inside the iteration — the hook the distribution layer
+    uses to shard the edge state over a mesh axis
+    (parallel.edge_sharded_decoder); semantics are unchanged.
     """
     dtype = jnp.dtype(dtype)
     big = jnp.finfo(dtype).max
     adaptive = algorithm.is_adaptive
     exact = dtype == jnp.float64  # reference-parity accumulation order
+    constrain = edge_constraint if edge_constraint is not None else (lambda x: x)
 
     bit_order = jnp.asarray(layout.bit_order)
     bit_inv = jnp.asarray(layout.bit_inv)
@@ -249,7 +256,7 @@ def make_decoder(
 
         # Initial bit->check messages: the channel LLR of the edge's bit
         # (reference: src/qkd_ldpc_algorithm.cpp:21-29).
-        mbc0 = jnp.take(llr_int, check_edge_bit, axis=0)
+        mbc0 = constrain(jnp.take(llr_int, check_edge_bit, axis=0))
 
         decision0 = (llr_int <= 0).astype(jnp.int8)  # used by adaptive init
         converged0 = jnp.zeros((batch,), bool)
@@ -264,9 +271,10 @@ def make_decoder(
 
             def body(state):
                 it, mbc, decision, converged, iters, frozen = state
-                ecb = check_pass(mbc, syn_sign, primary, secondary, None)
+                ecb = constrain(check_pass(mbc, syn_sign, primary, secondary, None))
                 ecb = clamp(ecb, threshold)
                 total, new_decision, new_mbc = bit_pass(ecb, llr_int, threshold)
+                new_mbc = constrain(new_mbc)
                 dsyn = decision_syndrome(new_decision)
                 ok = jnp.all(dsyn == syndrome_int, axis=0)
                 newly = ok & ~converged
@@ -290,10 +298,10 @@ def make_decoder(
                 converged = converged | ok
                 mismatch = dsyn != syndrome_int
                 factor = jnp.where(mismatch, secondary, primary).astype(dtype)
-                ecb = check_pass(mbc, syn_sign, primary, secondary, factor)
+                ecb = constrain(check_pass(mbc, syn_sign, primary, secondary, factor))
                 ecb = clamp(ecb, threshold)
                 total, new_decision, new_mbc = bit_pass(ecb, llr_int, threshold)
-                return (it + 1, new_mbc, new_decision, converged, iters, frozen)
+                return (it + 1, constrain(new_mbc), new_decision, converged, iters, frozen)
 
         state = (jnp.int32(0), mbc0, decision0, converged0, iters0, frozen0)
         it, mbc, decision, converged, iters, frozen = jax.lax.while_loop(

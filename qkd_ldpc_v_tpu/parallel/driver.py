@@ -158,3 +158,38 @@ def psum_stats(syndromes_match, keys_match, iterations, axis_name: str = "data")
     it_min = jax.lax.pmin(jnp.min(jnp.where(ok, it, big)), axis_name)
     it_max = jax.lax.pmax(jnp.max(jnp.where(ok, it, -1.0)), axis_name)
     return n_dec, n_ldpc, it_sum, it_sumsq, it_min, it_max
+
+
+def edge_sharded_decoder(
+    layout,
+    algorithm,
+    max_iterations: int,
+    mesh: Mesh,
+    axis: str = "model",
+    dtype=None,
+):
+    """Generic decoder with its edge-message state sharded over a mesh axis.
+
+    The model/sequence-parallel analogue from SURVEY.md §5: for frames whose
+    edge state exceeds one device's memory, every flat ``[E, B]`` message
+    array inside the decode loop carries a sharding constraint over ``axis``
+    and XLA's SPMD partitioner inserts the collectives for the
+    cross-enumeration regroup gathers. Results are identical to the
+    unsharded decoder (the jnp program is unchanged).
+    """
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from qkd_ldpc_v_tpu.ops.decoders import make_decoder
+
+    sharding = NamedSharding(mesh, P(axis, None))
+
+    def constrain(x):
+        return jax.lax.with_sharding_constraint(x, sharding)
+
+    decode = make_decoder(
+        layout, algorithm, max_iterations, False,
+        jnp.float32 if dtype is None else dtype,
+        edge_constraint=constrain,
+    )
+    return jax.jit(decode)

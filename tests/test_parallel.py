@@ -126,3 +126,35 @@ def test_mesh_with_pallas_interpret(medium_matrix):
     )
     assert 0.0 <= res.ratio_trials_success_ldpc <= 1.0
     assert res.iter_success_mean > 0
+
+
+def test_edge_sharded_decoder_matches_unsharded(medium_matrix):
+    """Edge-axis sharding (the model-parallel analogue): identical results,
+    XLA inserts the regroup collectives."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from qkd_ldpc_v_tpu.models.layout import layout_for
+    from qkd_ldpc_v_tpu.ops.channel import calculate_syndrome
+    from qkd_ldpc_v_tpu.ops.decoders import make_decoder
+    from qkd_ldpc_v_tpu.parallel.driver import edge_sharded_decoder
+
+    layout = layout_for(medium_matrix)
+    mesh = Mesh(np.asarray(jax.devices()[:2]), axis_names=("model",))
+    sharded = edge_sharded_decoder(layout, DecodingAlgorithm.NMSA, 30, mesh)
+    plain = jax.jit(make_decoder(layout, DecodingAlgorithm.NMSA, 30, False))
+
+    rng = np.random.default_rng(0)
+    n = medium_matrix.num_bit_nodes
+    alice = jnp.asarray(rng.integers(0, 2, (4, n)), jnp.int8)
+    bob = alice ^ jnp.asarray(rng.random((4, n)) < 0.03, jnp.int8)
+    log_p = float(np.log(0.97 / 0.03))
+    llr = jnp.where(bob == 1, -log_p, log_p).astype(jnp.float32)
+    syn = calculate_syndrome(layout, alice)
+
+    rs = sharded(llr, syn, 0.8, 1.0, 0.0)
+    rp = plain(llr, syn, 0.8, 1.0, 0.0)
+    np.testing.assert_array_equal(np.asarray(rs.decision), np.asarray(rp.decision))
+    np.testing.assert_array_equal(
+        np.asarray(rs.iterations), np.asarray(rp.iterations)
+    )
