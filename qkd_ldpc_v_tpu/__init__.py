@@ -18,7 +18,7 @@ Design principles (TPU-first, not a port):
     with XLA collectives for statistics aggregation.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from qkd_ldpc_v_tpu.config import (  # noqa: F401
     Config,

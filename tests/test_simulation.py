@@ -501,3 +501,49 @@ class TestPallasDriverPath:
         assert r_pallas.ratio_trials_success_ldpc == r_generic.ratio_trials_success_ldpc
         assert r_pallas.iter_success_mean == r_generic.iter_success_mean
         assert r_pallas.iter_success_max == r_generic.iter_success_max
+
+
+class TestDriverEdgeCases:
+    def test_privacy_plus_rate_adapt_through_driver(self, matrix_file):
+        """Privacy maintenance on top of rate adaptation: the out-key length
+        and the stats pipeline stay consistent."""
+        cfg = _base_cfg(
+            trials_number=8,
+            matrix_format=1,
+            enable_privacy_maintenance=True,
+            enable_code_rate_adaptation=True,
+            use_adaptation_parameters_ranges=True,
+            enable_throughput_measurement=True,
+            r_qber_ranges=(RQBERRange(0.9, 0.08, 0.08, 0.01),),
+            r_adapt_params_ranges=(
+                RAdaptationParametersRange(
+                    code_rate=0.9,
+                    delta_begin=0.1, delta_end=0.1, delta_step=0.1,
+                    efficiency_begin=1.2, efficiency_end=1.2, efficiency_step=0.1,
+                ),
+            ),
+        )
+        inputs = prepare_sim_inputs([matrix_file], cfg)
+        assert inputs[0].combinations
+        mp = inputs[0].combinations[0].matrix_params
+        # privacy adds removals beyond punctured+shortened
+        assert len(mp.bits_to_remove) > len(mp.punctured_bits) + len(mp.shortened_bits)
+        results = qkd_ldpc_batch_simulation(inputs, cfg)
+        assert results[0].throughput_mean > 0
+
+    def test_trials_not_multiple_of_batch(self, medium_matrix):
+        cfg = _base_cfg(trials_number=23, batch_size=8)
+        comb = SimCombination(0.02, HMatrixParams(), ScalingFactors())
+        res = run_combination(medium_matrix, comb, cfg, sim_number=0)
+        assert 0.0 <= res.ratio_trials_success_ldpc <= 1.0
+
+    def test_multiple_scaling_factors_share_one_step(self, medium_matrix):
+        """Sweeping alpha must not recompile: same step object reused."""
+        from qkd_ldpc_v_tpu.simulation import _STEP_CACHE, get_step
+
+        cfg = _base_cfg(trials_number=8, decoding_algorithm=DecodingAlgorithm.NMSA)
+        before = len(_STEP_CACHE)
+        for alpha in (0.7, 0.8, 0.9):
+            comb = SimCombination(0.02, HMatrixParams(), ScalingFactors(primary=alpha))
+            run_combination(medium_matrix, comb, cfg, sim_number=0)
+        assert len(_STEP_CACHE) <= before + 2  # phase1 + phase2 tier at most
