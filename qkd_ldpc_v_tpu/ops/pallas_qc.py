@@ -101,7 +101,11 @@ def _build(
 
     def kernel(*args):
         alice_s = None
-        if mode == "trial":
+        if mode == "frame":
+            (alice_ref, llr_ref, prim_ref, sec_ref, thr_ref,
+             conv_out, keys_out, iter_out,
+             msg, dec, frz, llr_s, syn_s) = args
+        elif mode == "trial":
             (alice_ref, bob_ref, qber_ref, prim_ref, sec_ref, thr_ref,
              conv_out, keys_out, iter_out,
              msg, dec, frz, llr_s, syn_s) = args
@@ -131,7 +135,14 @@ def _build(
                 syn_s[r] = acc
 
         # ---- prologue: stage LLR planes and syndrome planes into VMEM ----
-        if mode == "trial":
+        if mode == "frame":
+            # Rate-adaptive driver path: frames and LLRs arrive prebuilt
+            # (punctured/shortened handling happens in XLA); the kernel still
+            # owns Alice's syndrome, the decode, and the key comparison.
+            for c in range(nb):
+                llr_s[c] = llr_ref[:, c * z:(c + 1) * z]
+            stage_syndrome_from_alice()
+        elif mode == "trial":
             qber = qber_ref[0, 0]
             log_p = jnp.log((1.0 - qber) / qber)
             for c in range(nb):
@@ -314,7 +325,7 @@ def _build(
             cond, body, (jnp.int32(0), converged0, iters0)
         )
 
-        if mode in ("trial", "mc"):
+        if mode in ("trial", "mc", "frame"):
             km = None
             for c in range(nb):
                 final = jnp.where(converged != 0, frz[c], dec[c])
@@ -345,7 +356,22 @@ def _build(
     scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
     def call(num_tiles, b, *operands):
-        if mode == "mc":
+        if mode == "frame":
+            in_specs = [
+                pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                scalar_spec, scalar_spec, scalar_spec,
+            ]
+            out_shape = (
+                jax.ShapeDtypeStruct((b, 1), jnp.int8),
+                jax.ShapeDtypeStruct((b, 1), jnp.int8),
+                jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            )
+            out_specs = tuple(
+                pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+                for _ in range(3)
+            )
+        elif mode == "mc":
             smem_i32 = pl.BlockSpec(
                 (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
             )
@@ -546,3 +572,45 @@ def make_pallas_qc_montecarlo(
         )
 
     return mc
+
+
+def make_pallas_qc_frame_trial(
+    qc: QCMatrix,
+    algorithm: DecodingAlgorithm,
+    max_iterations: int,
+    use_threshold: bool,
+    batch_tile: int = 16,
+    interpret: bool = False,
+) -> Callable:
+    """Fused trial kernel for prebuilt frames (the rate-adaptive driver path).
+
+    ``trial(alice_frame [B,N] int8/int32, llr [B,N] f32, primary, secondary,
+    threshold) -> (syndromes_match, keys_match, iterations)``
+
+    The caller builds the extended frame and its punctured/shortened LLRs in
+    XLA; the kernel computes Alice's syndrome (parity rolls), runs the full
+    decode, and compares keys — all in VMEM.
+    """
+    call, fdtype, tb, n, m = _build(
+        qc, algorithm, max_iterations, use_threshold, batch_tile, interpret,
+        mode="frame",
+    )
+
+    def trial(alice_frame, llr, primary=1.0, secondary=1.0, threshold=0.0):
+        b = alice_frame.shape[0]
+        pad = (-b) % tb
+        alice_frame = jnp.pad(alice_frame.astype(jnp.int32), ((0, pad), (0, 0)))
+        llr = jnp.pad(llr.astype(fdtype), ((0, pad), (0, 0)))
+        llr = llr.at[b:, :].set(1.0) if pad else llr
+        prim = jnp.full((1, 1), primary, fdtype)
+        sec = jnp.full((1, 1), secondary, fdtype)
+        thr = jnp.full((1, 1), threshold, fdtype)
+        bp = b + pad
+        conv, keys, iters = call(bp // tb, bp, alice_frame, llr, prim, sec, thr)
+        return (
+            conv[:b, 0].astype(bool),
+            keys[:b, 0].astype(bool),
+            iters[:b, 0],
+        )
+
+    return trial

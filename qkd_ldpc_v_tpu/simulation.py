@@ -356,12 +356,20 @@ def _build_step(
             )
         decode = None
     elif pallas_active:
-        from qkd_ldpc_v_tpu.ops.pallas_qc import make_pallas_qc_decoder
+        # Rate-adaptive: frames/LLRs are built in XLA (host-chosen puncture
+        # and shorten positions), but syndrome, decode, and key comparison
+        # stay fused in VMEM.
+        from qkd_ldpc_v_tpu.ops.pallas_qc import make_pallas_qc_frame_trial
 
-        decode = make_pallas_qc_decoder(
+        frame_kernel = make_pallas_qc_frame_trial(
             matrix.qc, algorithm, max_iterations, use_threshold,
             interpret=interpret,
         )
+
+        def decode_frames(llr_ext, alice_frame, primary, secondary, threshold):
+            return frame_kernel(alice_frame, llr_ext, primary, secondary, threshold)
+
+        decode = None
     else:
         decode = get_decoder(
             layout, algorithm, max_iterations, use_threshold, dtype=dtype,
@@ -374,6 +382,10 @@ def _build_step(
         return jnp.take(arr, sel, axis=0)
 
     def decode_tail(llr_ext, alice_frame, primary, secondary, threshold):
+        if decode is None:  # fused frame kernel owns syndrome/compare
+            return decode_frames(
+                llr_ext, alice_frame, primary, secondary, threshold
+            )
         alice_int = jnp.take(alice_frame, bit_order, axis=1)
         syndrome_int = syndrome_internal(layout, alice_int)
         syndrome_ext = jnp.take(
