@@ -98,3 +98,36 @@ def test_traced_driver_matches_untraced_f64(medium_matrix, capsys):
     assert traced.iter_success_mean == untraced.iter_success_mean
     assert traced.iter_success_min == untraced.iter_success_min
     assert traced.iter_success_max == untraced.iter_success_max
+
+
+def test_traced_rate_adapt_matches_device_f64(matrix_file=None):
+    """Traced (oracle) rate-adaptive trials equal the device f64 path —
+    extends the PRNG-parity check through frame extension."""
+    import numpy as np
+
+    from qkd_ldpc_v_tpu.models.generator import generate_regular_ldpc
+    import qkd_ldpc_v_tpu.rate_adapt as ra
+
+    matrix = generate_regular_ldpc(256, 128, 3, seed=13)
+    rng = np.random.default_rng(2)
+    params = ra.adapt_code_rate(rng, matrix, qber=0.08, delta=0.2, efficiency=1.3)
+    assert not params.is_empty
+    ra.finalize_bits_to_remove(matrix, params, False)
+
+    base = dict(
+        trials_number=8,
+        simulation_seed=6,
+        decoding_algorithm=DecodingAlgorithm.SPA,
+        decoding_alg_max_iterations=40,
+        enable_code_rate_adaptation=True,
+        r_qber_ranges=(RQBERRange(0.99, 0.08, 0.08, 0.01),),
+        dtype="float64",
+    )
+    comb = SimCombination(0.08, params, ScalingFactors())
+    traced = run_combination(
+        matrix, comb, Config(**base, trace_qkd_ldpc=True), sim_number=0
+    )
+    device = run_combination(matrix, comb, Config(**base), sim_number=0)
+    assert traced.ratio_trials_success_decoding == device.ratio_trials_success_decoding
+    assert traced.ratio_trials_success_ldpc == device.ratio_trials_success_ldpc
+    assert traced.iter_success_mean == device.iter_success_mean
