@@ -238,6 +238,8 @@ def main(argv=None) -> int:
             duration = format_duration(time.monotonic() - start)
 
             result_path = write_file(results, cfg, duration, args.results)
+            # Only drop the checkpoint once the CSV has safely landed.
+            checkpoint.unlink(missing_ok=True)
             print(_color("92", f"The results are written to the file: {result_path}")
                   + "\n")
     except Exception as e:  # noqa: BLE001 — mirror reference catch-all

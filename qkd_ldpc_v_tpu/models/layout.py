@@ -239,10 +239,11 @@ _LAYOUT_CACHE: dict = {}
 
 
 def layout_for(matrix: HMatrix) -> EdgeLayout:
-    """Memoized compile_layout keyed by matrix object identity."""
-    key = id(matrix)
-    layout = _LAYOUT_CACHE.get(key)
-    if layout is None:
-        layout = compile_layout(matrix)
-        _LAYOUT_CACHE[key] = layout
+    """Memoized compile_layout keyed by matrix object identity (the matrix
+    is held strongly so its id() cannot be recycled while cached)."""
+    entry = _LAYOUT_CACHE.get(id(matrix))
+    if entry is not None and entry[0] is matrix:
+        return entry[1]
+    layout = compile_layout(matrix)
+    _LAYOUT_CACHE[id(matrix)] = (matrix, layout)
     return layout

@@ -330,10 +330,12 @@ def get_decoder(
 ) -> Callable[..., DecodeResult]:
     """Memoized, jitted decoder builder."""
     key = (id(layout), algorithm, max_iterations, use_threshold, jnp.dtype(dtype).name, jit)
-    fn = _DECODER_CACHE.get(key)
-    if fn is None:
-        fn = make_decoder(layout, algorithm, max_iterations, use_threshold, dtype)
-        if jit:
-            fn = jax.jit(fn)
-        _DECODER_CACHE[key] = fn
+    entry = _DECODER_CACHE.get(key)
+    if entry is not None and entry[0] is layout:
+        # layout held strongly -> id() stable while cached
+        return entry[1]
+    fn = make_decoder(layout, algorithm, max_iterations, use_threshold, dtype)
+    if jit:
+        fn = jax.jit(fn)
+    _DECODER_CACHE[key] = (layout, fn)
     return fn

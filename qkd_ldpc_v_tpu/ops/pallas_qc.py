@@ -154,7 +154,10 @@ def _build(
             # exactly-num_errors error positions from the per-tile PRNG
             # stream (reference channel semantics:
             # src/array_and_matrix_operations.cpp:889-933).
-            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+            # Two seed components keep distinct chunks' tile streams from
+            # colliding (seed+tile arithmetic would alias chunks whose seeds
+            # differ by less than the tile count).
+            pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
             qber = qber_ref[0, 0]
             num_errors = ne_ref[0, 0]
             log_p = jnp.log((1.0 - qber) / qber)

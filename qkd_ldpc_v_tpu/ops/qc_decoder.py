@@ -111,10 +111,11 @@ _PLAN_CACHE: dict = {}
 
 
 def plan_for(qc: QCMatrix) -> _QCPlan:
-    plan = _PLAN_CACHE.get(id(qc))
-    if plan is None:
-        plan = _QCPlan(qc)
-        _PLAN_CACHE[id(qc)] = plan
+    entry = _PLAN_CACHE.get(id(qc))
+    if entry is not None and entry[0] is qc:
+        return entry[1]
+    plan = _QCPlan(qc)
+    _PLAN_CACHE[id(qc)] = (qc, plan)
     return plan
 
 

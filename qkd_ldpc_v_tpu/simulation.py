@@ -429,9 +429,12 @@ def _build_step(
             # reference's sequential consumption (:1169-1172 over run_trial's
             # full-length keys). The payload_gather map is built over payload
             # ordinals, so gathering through it reads key bits 0..n-1.
-            kpa, kpb = jax.random.split(kp)
+            # Bob's punctured draw is dead weight (the decoder reads only
+            # the ALMOST_ZERO LLR there and keys_match compares against
+            # Alice's frame; the reference consumes it only for trace
+            # prints), so only Alice's punctured bits are generated.
+            kpa, _ = jax.random.split(kp)
             alice_punct = jax.random.bernoulli(kpa, 0.5, (batch, n_bits)).astype(jnp.int8)
-            bob_punct = jax.random.bernoulli(kpb, 0.5, (batch, n_bits)).astype(jnp.int8)
 
             a_payload = jnp.take(alice_full, payload_gather, axis=1)
             b_payload = jnp.take(bob_full, payload_gather, axis=1)
@@ -441,9 +444,7 @@ def _build_step(
             alice_frame = jnp.where(
                 is_payload, a_payload, jnp.where(is_punct, alice_punct, 0)
             ).astype(jnp.int8)
-            bob_frame = jnp.where(
-                is_payload, b_payload, jnp.where(is_punct, bob_punct, 0)
-            ).astype(jnp.int8)
+            bob_frame = jnp.where(is_payload, b_payload, 0).astype(jnp.int8)
 
             log_p = jnp.log((1.0 - qber) / qber).astype(dtype)
             payload_llr = jnp.where(bob_frame == 1, -log_p, log_p).astype(dtype)
@@ -479,6 +480,7 @@ def _build_step(
 
 
 _STEP_CACHE: dict = {}
+_WARMED_STEPS: set = set()
 
 
 def get_step(
@@ -508,22 +510,25 @@ def get_step(
         select_size,
         cfg.use_pallas,
     )
-    fn = _STEP_CACHE.get(key)
-    if fn is None:
-        fn = jax.jit(
-            _build_step(
-                matrix,
-                cfg.decoding_algorithm,
-                cap,
-                cfg.enable_msg_llr_threshold,
-                cfg.enable_code_rate_adaptation,
-                batch,
-                cfg.dtype,
-                select_size=select_size,
-                use_pallas=cfg.use_pallas,
-            )
+    entry = _STEP_CACHE.get(key)
+    if entry is not None and entry[0] is matrix:
+        # The cached matrix is held strongly, so its id() cannot be recycled
+        # by a different HMatrix while the entry lives.
+        return entry[1]
+    fn = jax.jit(
+        _build_step(
+            matrix,
+            cfg.decoding_algorithm,
+            cap,
+            cfg.enable_msg_llr_threshold,
+            cfg.enable_code_rate_adaptation,
+            batch,
+            cfg.dtype,
+            select_size=select_size,
+            use_pallas=cfg.use_pallas,
         )
-        _STEP_CACHE[key] = fn
+    )
+    _STEP_CACHE[key] = (matrix, fn)
     return fn
 
 
@@ -643,19 +648,36 @@ def _run_trials_traced(
 
     trials = cfg.trials_number
     n_bits = matrix.num_bit_nodes
-    ka, ke, kp = trial_keys(cfg.simulation_seed, sim_number, 0)
-    alice_full = np.asarray(generate_keys(ka, trials, n_bits))
-    bob_full = np.asarray(inject_errors(ke, jnp.asarray(alice_full), num_errors))
+    batch = cfg.batch_size if cfg.batch_size > 0 else trials
+    batch = min(batch, trials)
+
+    # Same chunked PRNG discipline as the device path so traced runs see the
+    # identical channel realizations.
+    alice_parts, bob_parts, ap_parts = [], [], []
+    done = 0
+    chunk_index = 0
+    while done < trials:
+        take = min(batch, trials - done)
+        ka, ke, kp = trial_keys(cfg.simulation_seed, sim_number, chunk_index)
+        a = np.asarray(generate_keys(ka, batch, n_bits))
+        b = np.asarray(inject_errors(ke, jnp.asarray(a), num_errors))
+        alice_parts.append(a[:take])
+        bob_parts.append(b[:take])
+        if cfg.enable_code_rate_adaptation:
+            kpa, _ = jax.random.split(kp)
+            ap_parts.append(
+                np.asarray(
+                    jax.random.bernoulli(kpa, 0.5, (batch, n_bits))
+                ).astype(np.int8)[:take]
+            )
+        done += take
+        chunk_index += 1
+    alice_full = np.concatenate(alice_parts)
+    bob_full = np.concatenate(bob_parts)
 
     if cfg.enable_code_rate_adaptation:
         pos_class, payload_gather = make_frame_plan(n_bits, comb.matrix_params)
-        kpa, kpb = jax.random.split(kp)
-        alice_punct = np.asarray(
-            jax.random.bernoulli(kpa, 0.5, (trials, n_bits))
-        ).astype(np.int8)
-        bob_punct = np.asarray(
-            jax.random.bernoulli(kpb, 0.5, (trials, n_bits))
-        ).astype(np.int8)
+        alice_punct = np.concatenate(ap_parts)
         is_payload = pos_class == _CLASS_PAYLOAD
         is_punct = pos_class == _CLASS_PUNCTURED
         a_payload = alice_full[:, payload_gather]
@@ -663,9 +685,7 @@ def _run_trials_traced(
         alice_frames = np.where(
             is_payload, a_payload, np.where(is_punct, alice_punct, 0)
         ).astype(np.int8)
-        bob_frames = np.where(
-            is_payload, b_payload, np.where(is_punct, bob_punct, 0)
-        ).astype(np.int8)
+        bob_frames = np.where(is_payload, b_payload, 0).astype(np.int8)
         log_p = np.log((1.0 - accurate_qber) / accurate_qber)
         llr_frames = np.where(
             is_payload,
@@ -721,6 +741,11 @@ def run_combination(
             f"Key size '{n_bits}' is too small for QBER."
         )
     accurate_qber = num_errors / n_bits
+
+    if cfg.dtype == "float64" and not jax.config.jax_enable_x64:
+        # The advertised reference-parity mode; without x64 JAX would
+        # silently truncate everything to float32.
+        jax.config.update("jax_enable_x64", True)
 
     if cfg.trace_qkd_ldpc or cfg.trace_decoding_alg or cfg.trace_decoding_alg_llr:
         t0 = time.perf_counter()
@@ -801,6 +826,13 @@ def run_combination(
     iter_parts: List[np.ndarray] = []
     runtime_parts: List[np.ndarray] = []
 
+    if cfg.enable_throughput_measurement and id(step) not in _WARMED_STEPS:
+        # The reference times pure decode work; keep XLA trace/compile out
+        # of the first chunk's runtime.
+        ka, ke, kp = trial_keys(cfg.simulation_seed, sim_number, 0)
+        jax.block_until_ready(step(ka, ke, kp, *scalar_args))
+        _WARMED_STEPS.add(id(step))
+
     done = 0
     chunk_index = 0
     while done < trials:
@@ -835,9 +867,10 @@ def run_combination(
 
         elapsed_us = (time.perf_counter() - t0) * 1e6
         # Per-trial runtime = batch wall time / batch size: the batch is the
-        # TPU unit of work (all frames decode simultaneously), so this is the
-        # marginal per-frame cost the reference's per-trial timer measures.
-        runtime_parts.append(np.full(take, elapsed_us / take))
+        # TPU unit of work (all frames decode simultaneously, even in a
+        # short final chunk), so this is the marginal per-frame cost the
+        # reference's per-trial timer measures.
+        runtime_parts.append(np.full(take, elapsed_us / batch))
         syn_parts.append(syn)
         key_parts.append(keys)
         iter_parts.append(iters)
@@ -894,8 +927,24 @@ def _campaign_fingerprint(sim_inputs: Sequence[SimInput], cfg: Config) -> str:
             )
         )
     ]
-    parts.extend(str(s.matrix_path) for s in sim_inputs)
-    parts.append(str(sum(len(s.combinations) for s in sim_inputs)))
+    for s in sim_inputs:
+        parts.append(str(s.matrix_path))
+        for c in s.combinations:
+            mp = c.matrix_params
+            parts.append(
+                repr(
+                    (
+                        c.config_qber,
+                        c.scaling_factors.primary,
+                        c.scaling_factors.secondary,
+                        mp.delta,
+                        mp.efficiency,
+                        mp.punctured_bits.tobytes(),
+                        mp.shortened_bits.tobytes(),
+                        mp.bits_to_remove.tobytes(),
+                    )
+                )
+            )
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
 
 
@@ -904,15 +953,11 @@ def save_checkpoint(path, fingerprint: str, results: Sequence[SimResult]) -> Non
     writes results only at campaign end and loses everything on a crash
     (reference: src/main.cpp:185); this framework checkpoints each finished
     combination and resumes mid-sweep."""
-    import dataclasses
     import json
 
     payload = {
         "fingerprint": fingerprint,
-        "results": [
-            {**dataclasses.asdict(r), "scaling_factors": dataclasses.asdict(r.scaling_factors)}
-            for r in results
-        ],
+        "results": [dataclasses.asdict(r) for r in results],
     }
     tmp = Path(str(path) + ".tmp")
     tmp.write_text(json.dumps(payload))
@@ -981,8 +1026,8 @@ def qkd_ldpc_batch_simulation(
             sim_number += 1
             if checkpoint_path is not None:
                 save_checkpoint(checkpoint_path, fingerprint, results)
-    if checkpoint_path is not None:
-        Path(checkpoint_path).unlink(missing_ok=True)
+    # NB: the checkpoint is left on disk; the caller removes it once the
+    # results have safely landed (cli.py deletes it after write_file).
     return results
 
 

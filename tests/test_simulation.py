@@ -465,8 +465,25 @@ class TestCheckpointResume:
         assert calls[0] == 8
         assert results[0].config_qber == first.config_qber
         assert results[0].ratio_trials_success_ldpc == first.ratio_trials_success_ldpc
-        # checkpoint removed on completion
-        assert not ckpt.exists()
+        # checkpoint is left for the caller to remove after results land
+        assert ckpt.exists()
+
+    def test_changed_sweep_values_invalidate_checkpoint(self, matrix_file, tmp_path):
+        """Editing sweep parameters (same combination count) must not resume
+        from the stale checkpoint."""
+        from qkd_ldpc_v_tpu.simulation import _campaign_fingerprint
+
+        cfg_a = _base_cfg(
+            trials_number=4, matrix_format=1,
+            r_qber_ranges=(RQBERRange(0.9, 0.02, 0.04, 0.01),),
+        )
+        cfg_b = _base_cfg(
+            trials_number=4, matrix_format=1,
+            r_qber_ranges=(RQBERRange(0.9, 0.05, 0.07, 0.01),),
+        )
+        fa = _campaign_fingerprint(prepare_sim_inputs([matrix_file], cfg_a), cfg_a)
+        fb = _campaign_fingerprint(prepare_sim_inputs([matrix_file], cfg_b), cfg_b)
+        assert fa != fb
 
     def test_mismatched_fingerprint_ignored(self, matrix_file, tmp_path):
         from qkd_ldpc_v_tpu.simulation import load_checkpoint, save_checkpoint
