@@ -189,7 +189,9 @@ def _build(
                     )
                 t = jnp.where(cnt < num_errors, cand, t)
             for c in range(nb):
-                flip = (ekeys[c] <= t).astype(jnp.int32)
+                flip = jnp.where(
+                    num_errors > 0, (ekeys[c] <= t).astype(jnp.int32), 0
+                )
                 bob_c = alice_s[c] ^ flip
                 llr_s[c] = jnp.where(bob_c == 1, -log_p, log_p).astype(dtype)
             stage_syndrome_from_alice()
@@ -358,6 +360,18 @@ def _build(
         ]
     scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
+    def _stats_outputs(b):
+        shape = (
+            jax.ShapeDtypeStruct((b, 1), jnp.int8),
+            jax.ShapeDtypeStruct((b, 1), jnp.int8),
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        )
+        specs = tuple(
+            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(3)
+        )
+        return shape, specs
+
     def call(num_tiles, b, *operands):
         if mode == "frame":
             in_specs = [
@@ -365,45 +379,21 @@ def _build(
                 pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 scalar_spec, scalar_spec, scalar_spec,
             ]
-            out_shape = (
-                jax.ShapeDtypeStruct((b, 1), jnp.int8),
-                jax.ShapeDtypeStruct((b, 1), jnp.int8),
-                jax.ShapeDtypeStruct((b, 1), jnp.int32),
-            )
-            out_specs = tuple(
-                pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-                for _ in range(3)
-            )
+            out_shape, out_specs = _stats_outputs(b)
         elif mode == "mc":
             smem_i32 = pl.BlockSpec(
                 (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
             )
             in_specs = [smem_i32, smem_i32, scalar_spec, scalar_spec,
                         scalar_spec, scalar_spec]
-            out_shape = (
-                jax.ShapeDtypeStruct((b, 1), jnp.int8),
-                jax.ShapeDtypeStruct((b, 1), jnp.int8),
-                jax.ShapeDtypeStruct((b, 1), jnp.int32),
-            )
-            out_specs = tuple(
-                pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-                for _ in range(3)
-            )
+            out_shape, out_specs = _stats_outputs(b)
         elif mode == "trial":
             in_specs = [
                 pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 scalar_spec, scalar_spec, scalar_spec, scalar_spec,
             ]
-            out_shape = (
-                jax.ShapeDtypeStruct((b, 1), jnp.int8),
-                jax.ShapeDtypeStruct((b, 1), jnp.int8),
-                jax.ShapeDtypeStruct((b, 1), jnp.int32),
-            )
-            out_specs = tuple(
-                pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-                for _ in range(3)
-            )
+            out_shape, out_specs = _stats_outputs(b)
         else:
             in_specs = [
                 pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -544,15 +534,17 @@ def make_pallas_qc_montecarlo(
     ``mc(seed int32, num_errors int32, qber, primary, secondary, threshold)
     -> (syndromes_match [B] bool, keys_match [B] bool, iterations [B] int32)``
 
-    Each batch tile seeds the hardware PRNG with ``seed + tile_index`` and
-    generates Alice's keys plus an exactly-``num_errors`` uniform error
+    Each batch tile seeds the hardware PRNG with the two components
+    ``(seed, tile_index)`` (so distinct chunks' tile streams cannot alias)
+    and generates Alice's keys plus an exactly-``num_errors`` uniform error
     subset in VMEM — the only HBM traffic of an entire trial batch is three
     [B]-sized result vectors. The random stream is the TPU hardware PRNG,
     not the host threefry stream, so cross-implementation comparisons are
-    statistical rather than bitwise.
+    statistical rather than bitwise. ``batch`` is rounded up to the tile
+    internally; outputs are sliced back to ``batch``.
     """
-    if batch % batch_tile:
-        raise ValueError("batch must be a multiple of batch_tile")
+    pad = (-batch) % batch_tile
+    padded = batch + pad
     call, fdtype, tb, n, m = _build(
         qc, algorithm, max_iterations, use_threshold, batch_tile, interpret,
         mode="mc",
@@ -566,12 +558,12 @@ def make_pallas_qc_montecarlo(
         sec = jnp.full((1, 1), secondary, fdtype)
         thr = jnp.full((1, 1), threshold, fdtype)
         conv, keys, iters = call(
-            batch // tb, batch, sd, ne, qb, prim, sec, thr
+            padded // tb, padded, sd, ne, qb, prim, sec, thr
         )
         return (
-            conv[:, 0].astype(bool),
-            keys[:, 0].astype(bool),
-            iters[:, 0],
+            conv[:batch, 0].astype(bool),
+            keys[:batch, 0].astype(bool),
+            iters[:batch, 0],
         )
 
     return mc
