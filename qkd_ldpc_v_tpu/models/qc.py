@@ -85,14 +85,14 @@ class QCMatrix:
             for ch, b in zip(checks, bits):
                 check_rows[ch].append(int(b))
                 bit_rows[b].append(int(ch))
-        check_nodes = [np.array(sorted(row), dtype=np.int32) for row in check_rows]
-        bit_nodes = [np.array(sorted(row), dtype=np.int32) for row in bit_rows]
-        row_w = {len(r) for r in check_nodes}
-        col_w = {len(r) for r in bit_nodes}
+        from qkd_ldpc_v_tpu.models.hmatrix import _rows_regular, _sorted_rows
+
+        check_nodes = _sorted_rows(check_rows)
+        bit_nodes = _sorted_rows(bit_rows)
         return HMatrix(
             bit_nodes=bit_nodes,
             check_nodes=check_nodes,
-            is_regular=len(row_w) == 1 and len(col_w) == 1,
+            is_regular=_rows_regular(check_nodes) and _rows_regular(bit_nodes),
             qc=self,
         )
 
@@ -118,6 +118,11 @@ def generate_qc_ldpc(
     (weighted by multiplicity). The result is 4-cycle-free and approximately
     6-cycle-minimal — girth >= 8 whenever a zero-penalty assignment exists.
     """
+    if column_weight > base_checks:
+        raise ValueError(
+            f"column_weight {column_weight} needs at least that many base "
+            f"rows (base_checks={base_checks})"
+        )
     rng = np.random.default_rng(seed)
     z = lifting
     shifts = np.full((base_checks, base_bits), -1, dtype=np.int64)
@@ -148,9 +153,8 @@ def generate_qc_ldpc(
             if c2 == c or not assigned[r, c2]:
                 continue
             for r2 in col_rows[c2]:
+                # assigned[r2, c] implies the (r2, c) cell exists.
                 if r2 == r or not assigned[r2, c2] or not assigned[r2, c]:
-                    continue
-                if c not in row_cols[r2]:
                     continue
                 forbidden.append(
                     int((shifts[r2, c] - shifts[r2, c2] + shifts[r, c2]) % z)
@@ -170,7 +174,7 @@ def generate_qc_ldpc(
                     for r3 in col_rows[c3]:
                         if r3 in (r, r2) or not assigned[r3, c3]:
                             continue
-                        if not (shifts[r3, c] >= 0 and assigned[r3, c]):
+                        if not assigned[r3, c]:  # implies the cell exists
                             continue
                         penalties.append(
                             int(
@@ -185,9 +189,21 @@ def generate_qc_ldpc(
         score = np.zeros(z, dtype=np.int64)
         if penalties:
             np.add.at(score, np.asarray(penalties), 1)
+        forbidden_sentinel = np.iinfo(np.int64).max // 2
         if forbidden:
-            score[np.asarray(forbidden)] = np.iinfo(np.int64).max // 2
+            score[np.asarray(forbidden)] = forbidden_sentinel
         best = score.min()
+        if best >= forbidden_sentinel:
+            # Every residue closes a lifted 4-cycle (only possible when Z is
+            # small relative to the base-graph density); the guarantee in
+            # the docstring cannot hold for these parameters.
+            import logging
+
+            logging.getLogger("qkd_ldpc_v_tpu").warning(
+                "QC shift assignment at base cell (%d, %d): all %d shifts "
+                "close a lifted 4-cycle; increase the lifting size.",
+                r, c, z,
+            )
         candidates = np.flatnonzero(score == best)
         shifts[r, c] = int(candidates[rng.integers(len(candidates))])
         assigned[r, c] = True
@@ -215,6 +231,11 @@ def generate_qc_peg(
     spread), else maximal BFS distance; ties broken by minimal current
     check-node degree, then uniformly at random.
     """
+    if column_weight > base_checks:
+        raise ValueError(
+            f"column_weight {column_weight} needs at least that many base "
+            f"rows (base_checks={base_checks})"
+        )
     rng = np.random.default_rng(seed)
     z = lifting
     m = base_checks * z
@@ -301,29 +322,35 @@ def read_qc_matrix(path) -> QCMatrix:
     """Read a .mtrx file in the QC base-graph format (see write_qc_matrix)."""
     from pathlib import Path
 
-    from qkd_ldpc_v_tpu.models.hmatrix import MatrixFormatError
+    from qkd_ldpc_v_tpu.models.hmatrix import MatrixFormatError, _read_int_lines
 
-    text = Path(path).read_text()
-    lines = [ln for ln in text.splitlines() if ln.strip()]
+    path = Path(path)
+    lines = [ln for ln in _read_int_lines(path) if ln]
     if not lines:
         raise MatrixFormatError(f"File is empty or cannot be read properly: {path}")
-    header = lines[0].split()
+    header = lines[0]
     if len(header) != 3:
         raise MatrixFormatError(f"Wrong QC matrix header (want 'mb nb Z'): {path}")
-    mb, nb, z = (int(v) for v in header)
+    mb, nb, z = header
+    if mb <= 0 or nb <= 0 or z <= 0:
+        raise MatrixFormatError(
+            f"QC header values must be positive (got mb={mb} nb={nb} Z={z}). "
+            f"File: {path}"
+        )
     if len(lines) < 1 + mb:
         raise MatrixFormatError(f"Insufficient data in the file: {path}")
     shifts = np.full((mb, nb), -1, dtype=np.int64)
     for r in range(mb):
-        row = [int(v) for v in lines[1 + r].split()]
+        row = lines[1 + r]
         if len(row) != nb:
             raise MatrixFormatError(
                 f"Row {r} has {len(row)} entries, expected {nb}. File: {path}"
             )
         for c, s in enumerate(row):
-            if s >= z:
+            if s >= z or s < -1:
                 raise MatrixFormatError(
-                    f"Shift {s} out of range [0,{z}) at ({r},{c}). File: {path}"
+                    f"Shift {s} out of range (-1 or [0,{z})) at ({r},{c}). "
+                    f"File: {path}"
                 )
             shifts[r, c] = s
     return QCMatrix(shifts=shifts, lifting=z)
