@@ -51,16 +51,27 @@ def inject_errors(
     index tie-breaking keeps the subset distribution uniform).
     """
     batch, n = alice.shape
-    idx_bits = max(1, (n - 1).bit_length())
-    bits = jax.random.bits(key, (batch, n), jnp.uint32)
-    pos = jax.lax.broadcasted_iota(jnp.uint32, (batch, n), 1)
-    keys = (bits >> idx_bits << idx_bits) | pos
+    if jax.config.jax_enable_x64:
+        # 64-bit keys: random high 32 bits, position low 32 — no random-bit
+        # budget is spent on the index, so no tie-class bias at any n.
+        bits = jax.random.bits(key, (batch, n), jnp.uint32).astype(jnp.uint64)
+        pos = jax.lax.broadcasted_iota(jnp.uint64, (batch, n), 1)
+        keys = (bits << 32) | pos
+    else:
+        # 32-bit fallback: random high bits, index low bits. Ties at the
+        # selection boundary slightly favor low indices; the affected count
+        # per frame is ~n^2 / (K * 2^(32-ceil(log2 n))) positions — under
+        # 4 even at n = 102400 — negligible for the supported frame sizes.
+        idx_bits = max(1, (n - 1).bit_length())
+        bits = jax.random.bits(key, (batch, n), jnp.uint32)
+        pos = jax.lax.broadcasted_iota(jnp.uint32, (batch, n), 1)
+        keys = (bits >> idx_bits << idx_bits) | pos
     sk = jnp.sort(keys, axis=1)
-    ne = jnp.asarray(num_errors, dtype=jnp.int32)
+    ne = jnp.broadcast_to(jnp.asarray(num_errors, dtype=jnp.int32), (batch,))
     kth = jnp.take_along_axis(
-        sk, jnp.broadcast_to(jnp.maximum(ne - 1, 0), (batch,))[:, None], axis=1
+        sk, jnp.maximum(ne - 1, 0)[:, None], axis=1
     )[:, 0]
-    flips = ((keys <= kth[:, None]) & (ne > 0)).astype(jnp.int8)
+    flips = ((keys <= kth[:, None]) & (ne > 0)[:, None]).astype(jnp.int8)
     return alice ^ flips
 
 

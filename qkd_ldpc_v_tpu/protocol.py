@@ -30,7 +30,7 @@ import numpy as np
 from qkd_ldpc_v_tpu.config import DecodingAlgorithm
 from qkd_ldpc_v_tpu.models.hmatrix import HMatrix
 from qkd_ldpc_v_tpu.models.layout import EdgeLayout, layout_for
-from qkd_ldpc_v_tpu.ops.channel import syndrome_internal
+from qkd_ldpc_v_tpu.ops.channel import calculate_syndrome, llr_from_bits
 from qkd_ldpc_v_tpu.ops.decoders import get_decoder
 from qkd_ldpc_v_tpu.privacy import keep_positions
 from qkd_ldpc_v_tpu.rate_adapt import ALMOST_ZERO, HMatrixParams
@@ -47,9 +47,10 @@ class ProtocolResult(NamedTuple):
     bob_out: jax.Array  # [B, n_out] int8
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class ProtocolSpec:
-    """Static per-combination protocol description (hashable by identity).
+    """Static per-combination protocol description (eq/hash by identity —
+    fields hold arrays, so value equality is neither cheap nor needed).
 
     ``payload_positions``/``punctured_positions``/``shortened_positions``
     are None for fixed-rate operation.
@@ -105,8 +106,16 @@ def make_protocol_spec(
     dtype: str = "float32",
 ) -> ProtocolSpec:
     """Build a spec for one sweep combination."""
+    from qkd_ldpc_v_tpu.privacy import bits_positions_to_remove
+    from qkd_ldpc_v_tpu.rate_adapt import finalize_bits_to_remove
+
     rate_adaptive = params is not None and not params.is_empty
     if rate_adaptive:
+        if len(params.bits_to_remove) == 0:
+            # The reference removes punctured+shortened (plus privacy bits)
+            # unconditionally (src/qkd_ldpc_algorithm.cpp:1218-1220); derive
+            # the removal set when the caller hasn't.
+            finalize_bits_to_remove(matrix, params, privacy_maintenance)
         n = matrix.num_bit_nodes
         in_frame = np.zeros(n, dtype=bool)
         in_frame[params.punctured_bits] = True
@@ -126,6 +135,8 @@ def make_protocol_spec(
             shortened_positions=np.asarray(params.shortened_bits, np.int32),
         )
     bits_to_remove = params.bits_to_remove if params is not None else None
+    if privacy_maintenance and (bits_to_remove is None or len(bits_to_remove) == 0):
+        bits_to_remove = bits_positions_to_remove(matrix)
     return ProtocolSpec(
         matrix=matrix,
         algorithm=algorithm,
@@ -141,17 +152,13 @@ def make_protocol_spec(
 def _run_decode(spec, layout, llr_ext, alice_frame, primary, secondary, threshold):
     """Shared tail: Alice syndrome -> decode -> key match."""
     dtype = jnp.dtype(spec.dtype)
-    bit_order = jnp.asarray(layout.bit_order)
-    alice_int = jnp.take(alice_frame, bit_order, axis=1)
-    syndrome_int = syndrome_internal(layout, alice_int)
-    syndrome_ext = jnp.take(syndrome_int, jnp.asarray(layout.check_inv), axis=1)
+    syndrome_ext = calculate_syndrome(layout, alice_frame)
     decode = get_decoder(
         layout,
         spec.algorithm,
         spec.max_iterations,
         spec.use_threshold,
         dtype=dtype,
-        jit=False,  # the protocol wrapper is jitted as a whole
     )
     res = decode(llr_ext, syndrome_ext, primary, secondary, threshold)
     keys_match = jnp.all(res.decision == alice_frame, axis=1)
@@ -173,8 +180,7 @@ def qkd_ldpc(
     """
     layout = spec.layout
     dtype = jnp.dtype(spec.dtype)
-    log_p = jnp.log((1.0 - qber) / qber).astype(dtype)
-    llr = jnp.where(bob == 1, -log_p, log_p).astype(dtype)
+    llr = llr_from_bits(bob, qber, dtype)
     res, keys_match = _run_decode(
         spec, layout, llr, alice, primary, secondary, threshold
     )
@@ -214,21 +220,20 @@ def qkd_ldpc_rate_adapt(
     punct = jnp.asarray(spec.punctured_positions)
     short = jnp.asarray(spec.shortened_positions)
 
-    ka, kb = jax.random.split(punct_key)
+    # Only Alice's punctured draw matters: the decoder reads the constant
+    # ALMOST_ZERO LLR at punctured positions and keys are compared against
+    # Alice's extended frame; the reference consumes Bob's draw solely for
+    # trace printing (src/qkd_ldpc_algorithm.cpp:1153-1154, 1230-1231).
+    ka, _ = jax.random.split(punct_key)
     num_punct = len(spec.punctured_positions)
     alice_punct = jax.random.bernoulli(ka, 0.5, (batch, num_punct)).astype(jnp.int8)
-    bob_punct = jax.random.bernoulli(kb, 0.5, (batch, num_punct)).astype(jnp.int8)
 
     zeros = jnp.zeros((batch, n_frame), jnp.int8)
     alice_ext = zeros.at[:, payload].set(alice_key).at[:, punct].set(alice_punct)
-    bob_ext = zeros.at[:, payload].set(bob_key).at[:, punct].set(bob_punct)
     # shortened positions stay 0 on both sides (reference: :1158-1165)
 
-    log_p = jnp.log((1.0 - qber) / qber).astype(dtype)
     llr = jnp.zeros((batch, n_frame), dtype)
-    llr = llr.at[:, payload].set(
-        jnp.where(bob_key == 1, -log_p, log_p).astype(dtype)
-    )
+    llr = llr.at[:, payload].set(llr_from_bits(bob_key, qber, dtype))
     llr = llr.at[:, punct].set(jnp.asarray(ALMOST_ZERO, dtype))
     llr = llr.at[:, short].set(jnp.finfo(dtype).max)
 

@@ -166,3 +166,45 @@ def test_inject_errors_exact_count_under_collisions():
         bob = inject_errors(jax.random.fold_in(key, ne), alice, ne)
         flips = np.asarray(bob ^ alice).sum(axis=1)
         assert (flips == ne).all(), (ne, flips.min(), flips.max())
+
+
+def test_inject_errors_per_frame_counts():
+    """Per-frame error-count arrays, including zero counts."""
+    import jax
+    import jax.numpy as jnp
+
+    from qkd_ldpc_v_tpu.ops.channel import generate_keys, inject_errors
+
+    key = jax.random.PRNGKey(3)
+    alice = generate_keys(key, 4, 64)
+    ne = jnp.asarray([0, 1, 5, 32], jnp.int32)
+    bob = inject_errors(jax.random.fold_in(key, 1), alice, ne)
+    flips = np.asarray(bob ^ alice).sum(axis=1)
+    np.testing.assert_array_equal(flips, [0, 1, 5, 32])
+
+
+def test_protocol_spec_identity_hash_and_auto_removal(medium_matrix):
+    """Specs hash by identity; rate-adaptive specs derive the mandatory
+    punctured+shortened removal when the caller didn't finalize it."""
+    from qkd_ldpc_v_tpu.config import DecodingAlgorithm
+    from qkd_ldpc_v_tpu.protocol import make_protocol_spec
+    import qkd_ldpc_v_tpu.rate_adapt as ra
+
+    rng = np.random.default_rng(1)
+    params = ra.adapt_code_rate(rng, medium_matrix, 0.08, 0.2, 1.3)
+    assert not params.is_empty
+    assert len(params.bits_to_remove) == 0  # caller did not finalize
+    spec = make_protocol_spec(
+        medium_matrix, DecodingAlgorithm.SPA, 30, False,
+        privacy_maintenance=False, params=params,
+    )
+    assert hash(spec) == hash(spec)  # identity hash works
+    p, s = len(params.punctured_bits), len(params.shortened_bits)
+    assert spec.output_key_bits == medium_matrix.num_bit_nodes - p - s
+
+    # fixed-rate privacy without explicit params also derives removals
+    spec2 = make_protocol_spec(
+        medium_matrix, DecodingAlgorithm.SPA, 30, False,
+        privacy_maintenance=True,
+    )
+    assert spec2.output_key_bits < medium_matrix.num_bit_nodes
