@@ -526,7 +526,7 @@ def make_pallas_qc_montecarlo(
     max_iterations: int,
     use_threshold: bool,
     batch: int,
-    batch_tile: int = 16,
+    batch_tile: int = 24,
     interpret: bool = False,
 ) -> Callable:
     """Fully in-kernel Monte-Carlo trials: PRNG, channel, decode, stats.
