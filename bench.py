@@ -18,7 +18,7 @@ vs_baseline is measured against the north-star target of 1e5 frames/s/chip
 
 Prints exactly one JSON line on stdout; diagnostics go to stderr.
 
-Env knobs: BENCH_BATCH (default 12288), BENCH_STEPS (default 2),
+Env knobs: BENCH_BATCH (default 24576), BENCH_STEPS (default 1),
 BENCH_ALIST=1 to also run the secondary measurement (slow first compile).
 """
 
@@ -94,8 +94,8 @@ def main() -> int:
     from qkd_ldpc_v_tpu.models.hmatrix import read_sparse_matrix_alist
     from qkd_ldpc_v_tpu.models.qc import generate_qc_peg
 
-    batch = int(os.environ.get("BENCH_BATCH", "12288"))
-    steps = int(os.environ.get("BENCH_STEPS", "2"))
+    batch = int(os.environ.get("BENCH_BATCH", "24576"))
+    steps = int(os.environ.get("BENCH_STEPS", "1"))
 
     dev = jax.devices()[0]
     print(f"bench: device={dev.platform}:{dev.device_kind}", file=sys.stderr)
