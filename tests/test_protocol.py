@@ -208,3 +208,18 @@ def test_protocol_spec_identity_hash_and_auto_removal(medium_matrix):
         privacy_maintenance=True,
     )
     assert spec2.output_key_bits < medium_matrix.num_bit_nodes
+
+
+def test_inject_errors_exact_count_32bit_path():
+    """The uint32 key fallback (x64 disabled) also yields exact counts."""
+    import jax
+    import jax.numpy as jnp
+
+    from qkd_ldpc_v_tpu.ops.channel import generate_keys, inject_errors
+
+    key = jax.random.PRNGKey(9)
+    alice = generate_keys(key, 16, 2048)
+    with jax.experimental.disable_x64():
+        bob = inject_errors(jax.random.fold_in(key, 7), alice, 61)
+    flips = np.asarray(bob ^ alice).sum(axis=1)
+    assert (flips == 61).all()
