@@ -219,7 +219,7 @@ def test_inject_errors_exact_count_32bit_path():
 
     key = jax.random.PRNGKey(9)
     alice = generate_keys(key, 16, 2048)
-    with jax.experimental.disable_x64():
+    with jax.enable_x64(False):
         bob = inject_errors(jax.random.fold_in(key, 7), alice, 61)
     flips = np.asarray(bob ^ alice).sum(axis=1)
     assert (flips == 61).all()
