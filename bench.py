@@ -18,7 +18,7 @@ vs_baseline is measured against the north-star target of 1e5 frames/s/chip
 
 Prints exactly one JSON line on stdout; diagnostics go to stderr.
 
-Env knobs: BENCH_BATCH (default 24576), BENCH_STEPS (default 1),
+Env knobs: BENCH_BATCH (default 98304), BENCH_STEPS (default 1),
 BENCH_ALIST=1 to also run the secondary measurement (slow first compile).
 """
 
@@ -94,7 +94,7 @@ def main() -> int:
     from qkd_ldpc_v_tpu.models.hmatrix import read_sparse_matrix_alist
     from qkd_ldpc_v_tpu.models.qc import generate_qc_peg
 
-    batch = int(os.environ.get("BENCH_BATCH", "24576"))
+    batch = int(os.environ.get("BENCH_BATCH", "98304"))
     steps = int(os.environ.get("BENCH_STEPS", "1"))
 
     dev = jax.devices()[0]
