@@ -9,9 +9,10 @@ measured through the real driver (run_combination):
     through the fused Pallas decoder (ops/pallas_qc.py) at its tuned
     alpha = 0.65; FER at this point is ~0 (no failures observed at 1e4+
     trials), far below the reference's PEG alist code at its alpha = 0.8.
-  * secondary (stderr, opt-in via BENCH_ALIST=1) — the reference's own
-    alist matrix through the generic XLA decoder with exact two-phase
-    decode, for like-for-like comparison on the reference's exact workload.
+  * alist — the reference's own alist matrix (its production code family)
+    through the best available engine, for like-for-like comparison on the
+    reference's exact workload. Always measured; reported in the same JSON
+    line as ``alist_frames_per_s`` / ``alist_vs_baseline``.
 
 vs_baseline is measured against the north-star target of 1e5 frames/s/chip
 (the reference publishes no numbers of its own — see BASELINE.md).
@@ -19,7 +20,8 @@ vs_baseline is measured against the north-star target of 1e5 frames/s/chip
 Prints exactly one JSON line on stdout; diagnostics go to stderr.
 
 Env knobs: BENCH_BATCH (default 98304), BENCH_STEPS (default 1),
-BENCH_ALIST=1 to also run the secondary measurement (slow first compile).
+BENCH_ALIST=0 to skip the alist measurement (slow first compile),
+BENCH_ALIST_BATCH (default 8192).
 """
 
 from __future__ import annotations
@@ -108,18 +110,28 @@ def main() -> int:
         qc_matrix, QC_ALPHA, {"use_pallas": True}, batch, steps, "qc-pallas"
     )
 
-    # Secondary: the reference's own matrix through the generic path.
-    if os.environ.get("BENCH_ALIST") and REFERENCE_MATRIX.exists():
+    # The reference's own matrix (alist PEG): always measured so the round
+    # record tracks the weakest, most comparable number too.
+    alist_fields = {}
+    if os.environ.get("BENCH_ALIST", "1") != "0" and REFERENCE_MATRIX.exists():
+        alist_batch = int(os.environ.get("BENCH_ALIST_BATCH", "8192"))
         alist = read_sparse_matrix_alist(REFERENCE_MATRIX)
-        _measure(
-            alist, ALIST_ALPHA, {}, min(batch, 2048), steps, "alist-generic"
+        afps, afer = _measure(
+            alist, ALIST_ALPHA, {"use_pallas": True}, alist_batch, steps,
+            "alist",
         )
+        alist_fields = {
+            "alist_frames_per_s": round(afps, 1),
+            "alist_vs_baseline": round(afps / TARGET_FRAMES_PER_S, 4),
+            "alist_fer": round(afer, 5),
+        }
 
     print(json.dumps({
         "metric": "decoded_10k_frames_per_s_qber0.03",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / TARGET_FRAMES_PER_S, 4),
+        **alist_fields,
     }))
     return 0
 

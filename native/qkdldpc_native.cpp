@@ -95,7 +95,9 @@ extern "C" {
 //   pass 2: out/line_starts allocated by caller -> fills values and the
 //           index of each line's first token (line_starts has n_lines+1
 //           entries, CSR-style).
-// Returns -1 on malformed input (non-integer token).
+// Returns -1 on malformed input (non-integer token, int32 overflow, or a
+// line separator the Python fallback's str.splitlines() would treat
+// differently: lone \r, \v, \f) -- the caller then re-parses in Python.
 int64_t qkdldpc_parse_ints(const char *text, int64_t len, int32_t *out,
                            int64_t *line_starts, int64_t *n_lines) {
   int64_t count = 0;
@@ -111,7 +113,15 @@ int64_t qkdldpc_parse_ints(const char *text, int64_t len, int32_t *out,
       ++i;
       continue;
     }
-    if (ch == ' ' || ch == '\t' || ch == '\r' || ch == '\f' || ch == '\v') {
+    if (ch == '\r') {
+      // \r\n is one line break (handled by the \n branch); a lone \r is a
+      // line break to str.splitlines() but not to us -> fall back.
+      if (i + 1 >= len || text[i + 1] != '\n') return -1;
+      ++i;
+      continue;
+    }
+    if (ch == '\f' || ch == '\v') return -1;  // splitlines() line breaks
+    if (ch == ' ' || ch == '\t') {
       ++i;
       continue;
     }
@@ -126,6 +136,7 @@ int64_t qkdldpc_parse_ints(const char *text, int64_t len, int32_t *out,
     int64_t v = 0;
     while (i < len && text[i] >= '0' && text[i] <= '9') {
       v = v * 10 + (text[i] - '0');
+      if (v > INT32_MAX) return -1;  // would truncate in the int32 output
       ++i;
     }
     if (i < len) {

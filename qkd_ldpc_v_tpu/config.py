@@ -208,14 +208,18 @@ class Config:
     # keys "tpu": {...} in the JSON, defaulted so every reference config
     # parses unchanged) ---
     batch_size: int = 0  # 0 => decode all trials of a combination at once
-    dtype: str = "float32"  # decoder message dtype: float32 | float64 | bfloat16
+    # Decoder message dtype: float32 | float64 | bfloat16. float64 is the
+    # reference-exact parity mode; bfloat16 halves message bandwidth (SPA in
+    # bf16 requires enable_msg_llr_threshold: bf16 tanh saturates at
+    # |LLR| ~ 9 and atanh(1) = inf — see tests/test_decoders.py).
+    dtype: str = "float32"
     use_pallas: bool = False  # opt into fused Pallas kernels where available
     # Two-phase straggler re-decode: phase 1 runs the whole batch to this
     # iteration cap; unconverged frames are re-decoded from scratch in a
     # small batch at the full cap. Bit-identical to a single full-cap decode
     # (BP from the same init is deterministic), but the big batch stops
-    # dragging at the cap for a few stragglers. -1 = auto (32 when the cap
-    # is >= 64), 0 = disabled, >0 = explicit phase-1 cap.
+    # dragging at the cap for a few stragglers. -1 = auto (cap // 2 when the
+    # cap is >= 64, else disabled), 0 = disabled, >0 = explicit phase-1 cap.
     phase1_iterations: int = -1
 
 

@@ -235,9 +235,6 @@ def make_qc_decoder(
             for p in range(row_start, row_start + count):
                 acc = None
                 for k in range(d):
-                    e = edge_offset + (p - row_start) * d + (
-                        0 if False else k
-                    )
                     e = edge_offset + (p - row_start) * d + k
                     c = edge_col[e]
                     s = edge_shift[e]

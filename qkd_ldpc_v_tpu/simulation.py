@@ -858,8 +858,21 @@ def run_combination(
                 step2 = get_step(matrix, cfg, batch, select_size=s_pad)
                 sel = np.zeros(s_pad, dtype=np.int32)
                 sel[: len(stragglers)] = stragglers
+                sel_d = jnp.asarray(sel)
+                if (
+                    cfg.enable_throughput_measurement
+                    and id(step2) not in _WARMED_STEPS
+                ):
+                    # Exclude the straggler-step compile from the chunk
+                    # timer (warm-up only compiled the phase-1 step).
+                    t_pause = time.perf_counter()
+                    jax.block_until_ready(
+                        step2(ka, ke, kp, *scalar_args, sel_d)
+                    )
+                    _WARMED_STEPS.add(id(step2))
+                    t0 += time.perf_counter() - t_pause
                 syn2, keys2, iters2 = jax.device_get(
-                    step2(ka, ke, kp, *scalar_args, jnp.asarray(sel))
+                    step2(ka, ke, kp, *scalar_args, sel_d)
                 )
                 syn[stragglers] = np.asarray(syn2[: len(stragglers)])
                 keys[stragglers] = np.asarray(keys2[: len(stragglers)])
@@ -924,6 +937,11 @@ def _campaign_fingerprint(sim_inputs: Sequence[SimInput], cfg: Config) -> str:
                 cfg.enable_msg_llr_threshold,
                 cfg.msg_llr_threshold,
                 cfg.dtype,
+                # batch_size and use_pallas change trial realizations
+                # (chunked threefry key derivation vs the hardware-PRNG MC
+                # kernel), so a resumed checkpoint must not mix them.
+                cfg.batch_size,
+                cfg.use_pallas,
             )
         )
     ]
@@ -1089,7 +1107,15 @@ def write_file(
     """Write the per-combination CSV (reference: src/simulation.cpp:4-176):
     same filename scheme with collision ``_k`` suffix, same semicolon-
     separated columns, same comma decimal separator, FER rounded to trial
-    granularity at write time."""
+    granularity at write time.
+
+    Throughput-column semantics caveat (PARITY.md §3): the reference times
+    each trial individually on a CPU thread; here trials decode in device
+    batches, so per-trial runtime = chunk wall time / chunk size and the
+    THROUGHPUT_MIN/MAX/STD spread reflects *chunk-level* variation (a
+    sidecar ``<file>.THROUGHPUT_NOTE.txt`` records this next to the CSV so
+    downstream consumers of the directory see it without reading the code;
+    the CSV itself stays byte-compatible with the reference format)."""
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
 
@@ -1168,4 +1194,12 @@ def write_file(
         lines.append(line)
 
     path.write_text("\n".join(lines) + "\n")
+    if cfg.enable_throughput_measurement:
+        path.with_suffix(".THROUGHPUT_NOTE.txt").write_text(
+            "THROUGHPUT_* columns in the sibling CSV are computed from "
+            "device-batch wall times (per-trial runtime = chunk wall time / "
+            "chunk size), not per-trial timers as in the reference "
+            "implementation; MIN/MAX/STD therefore reflect chunk-level "
+            "variation. Means are directly comparable. See PARITY.md §3.\n"
+        )
     return path

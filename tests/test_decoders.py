@@ -152,3 +152,33 @@ def test_f32_statistically_close(medium_matrix, alg):
         np.asarray(r64.syndromes_match) == np.asarray(r32.syndromes_match)
     )
     assert agree >= 0.9
+
+
+@pytest.mark.parametrize("alg", [DecodingAlgorithm.NMSA, DecodingAlgorithm.SPA])
+def test_bfloat16_decodes(medium_matrix, alg):
+    """bfloat16 is an accepted config dtype (config.py validates it): the
+    generic decoder must run in bf16 and still correct the large majority of
+    frames at an easy operating point. Parity claims are f64-only; bf16 is a
+    bandwidth-saving mode whose FER is merely required to stay usable.
+
+    SPA in bf16 needs the message-LLR clamp: bf16 tanh saturates to +-1 at
+    |LLR| ~ 9, and atanh(+-1) = inf poisons the messages. NMSA has no
+    transcendentals and runs unclamped."""
+    layout = compile_layout(medium_matrix)
+    batch = 16
+    alice, bob, llr, q = make_case(medium_matrix, batch, qber=0.02, seed=321)
+    syn = np.asarray(calculate_syndrome(layout, jnp.asarray(alice)))
+    primary, secondary = FACTORS[alg]
+    spa = alg == DecodingAlgorithm.SPA
+    dbf = get_decoder(layout, alg, 80, spa, dtype=jnp.bfloat16)
+    res = dbf(
+        jnp.asarray(llr, dtype=jnp.bfloat16), jnp.asarray(syn),
+        primary, secondary, 8.0 if spa else 0.0,
+    )
+    assert res.decision.dtype == np.int8
+    matched = np.asarray(res.syndromes_match)
+    dec = np.asarray(res.decision)
+    keys_ok = np.all(dec == alice, axis=1)
+    # bf16 messages lose precision but the code is operating far below its
+    # threshold here: require >= 80% corrected frames.
+    assert np.mean(matched & keys_ok) >= 0.8

@@ -82,6 +82,21 @@ class TestNativeParser:
         assert native.parse_int_lines("1.5\n") is None
         assert native.parse_int_lines("1-2\n") is None
 
+    def test_fallback_on_overflow_and_odd_line_breaks(self):
+        """Values over INT32_MAX would truncate in the int32 output, and
+        lone \\r / \\v / \\f are line breaks to str.splitlines() but not to
+        the native grouping — all must defer to the Python fallback."""
+        if native.load() is None:
+            pytest.skip("native library unavailable")
+        assert native.parse_int_lines("2147483648\n") is None
+        assert native.parse_int_lines("-2147483649\n") is None
+        assert native.parse_int_lines("99999999999999999999\n") is None
+        assert native.parse_int_lines("1 2\r3\n") is None
+        assert native.parse_int_lines("1\v2\n") is None
+        assert native.parse_int_lines("1\f2\n") is None
+        # \r\n stays on the native path (same grouping as splitlines()).
+        assert native.parse_int_lines("1 2\r\n3\n") == [[1, 2], [3]]
+
     def test_reader_path_uses_native(self, tmp_path):
         """read_sparse_matrix_alist through the native tokenizer equals the
         Python tokenizer result."""
