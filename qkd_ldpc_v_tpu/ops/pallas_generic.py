@@ -1,0 +1,923 @@
+"""Fused Pallas TPU decoders for ARBITRARY sparse parity-check matrices.
+
+The QC kernels (ops/pallas_qc.py) get their speed from circulant structure:
+every cross-enumeration move is a lane rotation. The reference's production
+codes, however, are *random* PEG constructions in alist/format-1/format-2
+(reference: src/array_and_matrix_operations.cpp:291-886, suites
+sparse_matrices/matrices_alist_{1k,10k}_all) with no circulant structure at
+all — their check-major <-> bit-major regroup is an arbitrary permutation of
+the edge space, which Mosaic cannot gather directly (lane gathers are
+limited to 128-wide rows). This module makes those codes fast anyway:
+
+  * edge state for a tile of frames lives in VMEM as ``[TB, R, 128]`` planes
+    in *degree-grouped slot-plane* layout: check group g of degree d
+    occupies d stacked plane-blocks of its checks, so every check/bit pass
+    is an unrolled elementwise reduction over contiguous slot slabs — full
+    VPU width, no masks, no straddling;
+  * the regroup runs entirely in VMEM as a seven-stage Clos factorization
+    (ops/permute_plan.py): lane-gather, tile-transpose, lane-gather,
+    tile-select, lane-gather, tile-transpose, lane-gather — each stage a
+    constant-indexed full-throughput op;
+  * decisions travel check-major *packed into the mantissa LSB* of the new
+    bit->check messages (min-sum family only — SPA can produce inf, whose
+    LSB-set pattern is NaN, so SPA transports decisions in a separate
+    permuted plane). The packing perturbs each message by at most 1 ulp;
+    the fused kernel is therefore statistically equivalent to (not bitwise
+    identical with) the XLA decoder — exact-parity claims remain the f64
+    path's job (PARITY.md).
+
+Early exit is per tile of TB frames, exactly like the QC kernels.
+Algorithm semantics mirror ops/decoders.py (reference:
+src/qkd_ldpc_algorithm.cpp:3-1029): hard-decision ``<= 0 -> 1``, exact
+two-minimum tie handling, OMSA clamp-at-zero, the adaptive pair's
+previous-decision factor selection with in-check-pass convergence, and the
+optional message clamp at the reference's program points.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qkd_ldpc_v_tpu.config import DecodingAlgorithm
+from qkd_ldpc_v_tpu.models.hmatrix import HMatrix
+from qkd_ldpc_v_tpu.ops.decoders import DecodeResult
+from qkd_ldpc_v_tpu.ops.linapprox import atanh_lin_approx, tanh_lin_approx
+from qkd_ldpc_v_tpu.ops.permute_plan import LANES, PermutePlan, build_permute_plan
+
+# Largest edge-space tile count the kernel accepts: three edge buffers of
+# [TB, Tn*128, 128] f32 plus planes and index tables must fit 16 MB VMEM.
+MAX_TILES = 4
+
+
+@dataclass(frozen=True)
+class NodeSide:
+    """Degree-grouped plane layout of one side (bits or checks).
+
+    groups: (degree, count, blocks, node_row_off, edge_row_off) per degree
+    class; ``blocks`` = ceil(count / 128).
+      * node plane space: group nodes at rows [node_row_off, +blocks)
+      * edge plane space: slot s of group g at rows
+        [edge_row_off + s*blocks, +blocks)
+    """
+
+    groups: Tuple[Tuple[int, int, int, int, int], ...]
+    node_rows: int  # total node-plane rows
+    edge_rows: int  # total edge-plane rows (pre-padding)
+    order: np.ndarray  # [count_total] external node id at sorted position
+    plane_pos: np.ndarray  # [count_total] node-plane position of ext node id
+    valid: np.ndarray  # [node_rows, 128] int32, 1 = real node lane
+    rep_src: np.ndarray  # [edge_rows] node-plane row feeding each edge row
+
+
+def _node_side(rows: List[np.ndarray]) -> NodeSide:
+    degrees = np.array([len(r) for r in rows], dtype=np.int64)
+    order = np.argsort(degrees, kind="stable").astype(np.int32)
+    sorted_deg = degrees[order]
+    groups = []
+    node_rows = 0
+    edge_rows = 0
+    start = 0
+    n = len(rows)
+    plane_pos = np.zeros(n, dtype=np.int64)
+    while start < n:
+        d = int(sorted_deg[start])
+        end = start
+        while end < n and sorted_deg[end] == d:
+            end += 1
+        count = end - start
+        blocks = -(-count // LANES)
+        local = np.arange(count)
+        plane_pos[order[start:end]] = (
+            (node_rows + local // LANES) * LANES + local % LANES
+        )
+        groups.append((d, count, blocks, node_rows, edge_rows))
+        node_rows += blocks
+        edge_rows += d * blocks
+        start = end
+    valid = np.zeros((node_rows, LANES), dtype=np.int32)
+    valid.reshape(-1)[plane_pos] = 1
+    rep_src = np.zeros(edge_rows, dtype=np.int32)
+    for d, count, blocks, noff, eoff in groups:
+        for s in range(d):
+            rep_src[eoff + s * blocks : eoff + (s + 1) * blocks] = np.arange(
+                noff, noff + blocks
+            )
+    return NodeSide(
+        groups=tuple(groups),
+        node_rows=node_rows,
+        edge_rows=edge_rows,
+        order=order,
+        plane_pos=plane_pos,
+        valid=valid,
+        rep_src=rep_src,
+    )
+
+
+@dataclass(frozen=True)
+class GenericPlan:
+    """Host-compiled constants for one matrix: plane layouts for both sides
+    plus the two seven-stage regroup factorizations."""
+
+    num_bits: int
+    num_checks: int
+    bits: NodeSide
+    checks: NodeSide
+    n_tiles: int  # padded edge space = n_tiles * 128 rows
+    to_bm: PermutePlan  # out_bm[i] = in_cm[map[i]]
+    to_cm: PermutePlan
+
+    @property
+    def edge_space_rows(self) -> int:
+        return self.n_tiles * LANES
+
+
+def build_generic_plan(matrix: HMatrix) -> GenericPlan:
+    """Compile the matrix's Tanner graph into the fused kernel's layout.
+
+    Raises ValueError when the edge space exceeds MAX_TILES 128x128-row
+    tiles (the VMEM feasibility gate) — callers fall back to the XLA
+    decoder."""
+    bits = _node_side(matrix.bit_nodes)
+    checks = _node_side(matrix.check_nodes)
+    used = max(bits.edge_rows, checks.edge_rows)
+    n_tiles = -(-used // LANES)
+    if n_tiles > MAX_TILES:
+        raise ValueError(
+            f"edge space {used} rows needs {n_tiles} tiles > {MAX_TILES}; "
+            "use the XLA decoder for this matrix"
+        )
+    s = n_tiles * LANES * LANES
+
+    bit_rows = matrix.bit_nodes
+    check_rows = matrix.check_nodes
+    # node -> (group index, local rank) via the sorted order
+    bit_grp = np.zeros(matrix.num_bit_nodes, dtype=np.int64)
+    bit_loc = np.zeros(matrix.num_bit_nodes, dtype=np.int64)
+    pos = 0
+    for h, (d, count, blocks, noff, eoff) in enumerate(bits.groups):
+        ids = bits.order[pos : pos + count]
+        bit_grp[ids] = h
+        bit_loc[ids] = np.arange(count)
+        pos += count
+    chk_grp = np.zeros(matrix.num_check_nodes, dtype=np.int64)
+    chk_loc = np.zeros(matrix.num_check_nodes, dtype=np.int64)
+    pos = 0
+    for g, (d, count, blocks, noff, eoff) in enumerate(checks.groups):
+        ids = checks.order[pos : pos + count]
+        chk_grp[ids] = g
+        chk_loc[ids] = np.arange(count)
+        pos += count
+
+    to_bm = np.full(s, -1, dtype=np.int64)
+    to_cm = np.full(s, -1, dtype=np.int64)
+    for j in range(matrix.num_check_nodes):
+        row = check_rows[j]
+        g = chk_grp[j]
+        d, count, blocks, noff, eoff = checks.groups[g]
+        q = int(chk_loc[j])
+        for slot, i in enumerate(row):
+            i = int(i)
+            t = int(np.searchsorted(bit_rows[i], j))
+            dh, counth, blocksh, noffh, eoffh = bits.groups[bit_grp[i]]
+            p = int(bit_loc[i])
+            cp = (eoff + slot * blocks + (q >> 7)) * LANES + (q & 127)
+            bp = (eoffh + t * blocksh + (p >> 7)) * LANES + (p & 127)
+            to_bm[bp] = cp
+            to_cm[cp] = bp
+    # pad <-> pad, in order (keeps both maps proper permutations)
+    free_b = np.flatnonzero(to_bm < 0)
+    free_c = np.flatnonzero(to_cm < 0)
+    to_bm[free_b] = free_c
+    to_cm[free_c] = free_b
+
+    return GenericPlan(
+        num_bits=matrix.num_bit_nodes,
+        num_checks=matrix.num_check_nodes,
+        bits=bits,
+        checks=checks,
+        n_tiles=n_tiles,
+        to_bm=build_permute_plan(to_bm),
+        to_cm=build_permute_plan(to_cm),
+    )
+
+
+_PLAN_CACHE: dict = {}
+
+
+def plan_for(matrix: HMatrix) -> GenericPlan:
+    entry = _PLAN_CACHE.get(id(matrix))
+    if entry is not None and entry[0] is matrix:
+        return entry[1]
+    plan = build_generic_plan(matrix)
+    _PLAN_CACHE[id(matrix)] = (matrix, plan)
+    return plan
+
+
+def generic_plan_feasible(matrix: HMatrix) -> bool:
+    """Cheap gate used by the driver to pick the fused generic kernel."""
+    try:
+        e = sum(len(r) for r in matrix.check_nodes)
+        if e > MAX_TILES * LANES * LANES:
+            return False
+        plan_for(matrix)
+        return True
+    except ValueError:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _build(
+    matrix: HMatrix,
+    algorithm: DecodingAlgorithm,
+    max_iterations: int,
+    use_threshold: bool,
+    batch_tile: int,
+    interpret: bool,
+    mode: str,  # "decode" | "trial" | "mc" | "frame"
+):
+    plan = plan_for(matrix)
+    dtype = jnp.dtype(jnp.float32)
+    tb = batch_tile
+    tn = plan.n_tiles
+    r = plan.edge_space_rows
+    nbr = plan.bits.node_rows
+    mr = plan.checks.node_rows
+    big = jnp.finfo(dtype).max
+    adaptive = algorithm.is_adaptive
+    spa = algorithm in (DecodingAlgorithm.SPA, DecodingAlgorithm.SPA_APPROX)
+    pack = not spa  # min-sum family: decisions ride the message LSB
+    if algorithm == DecodingAlgorithm.SPA:
+        tanh_fn = jnp.tanh
+        atanh_fn = lambda x: 0.5 * jnp.log((1.0 + x) / (1.0 - x))  # noqa: E731
+    else:
+        tanh_fn, atanh_fn = tanh_lin_approx, atanh_lin_approx
+
+    idx_bits = max(1, (nbr * LANES - 1).bit_length())
+    bit_edge_rows = plan.bits.edge_rows
+    rep_src = [int(v) for v in plan.bits.rep_src]
+
+    def clamp(x, threshold):
+        if use_threshold:
+            return jnp.clip(x, -threshold, threshold)
+        return x
+
+    def kernel(*args):
+        bm_tabs = args[0:5]
+        cm_tabs = args[5:10]
+        bit_valid_ref, check_valid_ref = args[10], args[11]
+        rest = args[12:]
+        alice_ref = bob_ref = llr_ref = syn_ref = None
+        seed_ref = ne_ref = qber_ref = None
+        asyn = llrs = alice = ekeys = None
+        dec_out = keys_out = None
+        if mode == "decode":
+            (llr_ref, syn_ref, prim_ref, sec_ref, thr_ref,
+             dec_out, conv_out, iter_out,
+             msg, ping, pong, dec, frz, dstage) = rest
+        elif mode == "trial":
+            (alice_ref, bob_ref, qber_ref, prim_ref, sec_ref, thr_ref,
+             conv_out, keys_out, iter_out,
+             msg, ping, pong, dec, frz, asyn, dstage, llrs) = rest
+        elif mode == "frame":
+            (alice_ref, llr_ref, prim_ref, sec_ref, thr_ref,
+             conv_out, keys_out, iter_out,
+             msg, ping, pong, dec, frz, asyn, dstage) = rest
+        else:  # mc
+            (seed_ref, ne_ref, qber_ref, prim_ref, sec_ref, thr_ref,
+             conv_out, keys_out, iter_out,
+             msg, ping, pong, dec, frz, asyn, alice, ekeys, dstage,
+             llrs) = rest
+        primary = prim_ref[0, 0]
+        secondary = sec_ref[0, 0]
+        threshold = thr_ref[0, 0]
+
+        def permute(tabs, src, out, scratch):
+            """Seven-stage Clos pipeline: reads src (read-only), leaves the
+            result in `out`, clobbers `scratch`. Stage parity is arranged so
+            the final lane gather lands in `out` with no trailing copy."""
+            idx_l1, idx_c, bsel, idx_a, idx_l2 = tabs
+            for t in range(tb):  # L1 lane gather  src -> out
+                out[t] = jnp.take_along_axis(src[t], idx_l1[:], axis=1)
+            for t2 in range(tn):  # tile transpose  out -> scratch
+                scratch[:, t2 * LANES:(t2 + 1) * LANES, :] = jnp.swapaxes(
+                    out[:, t2 * LANES:(t2 + 1) * LANES, :], 1, 2
+                )
+            for t in range(tb):  # C gather (transposed)  scratch -> out
+                out[t] = jnp.take_along_axis(scratch[t], idx_c[:], axis=1)
+            for t2 in range(tn):  # B tile select  out -> scratch
+                sel = bsel[t2]
+                acc = out[:, 0:LANES, :]
+                for t1 in range(1, tn):
+                    acc = jnp.where(
+                        (sel == t1)[None],
+                        out[:, t1 * LANES:(t1 + 1) * LANES, :],
+                        acc,
+                    )
+                scratch[:, t2 * LANES:(t2 + 1) * LANES, :] = acc
+            for t in range(tb):  # A gather (transposed)  scratch -> out
+                out[t] = jnp.take_along_axis(scratch[t], idx_a[:], axis=1)
+            for t2 in range(tn):  # tile transpose back  out -> scratch
+                scratch[:, t2 * LANES:(t2 + 1) * LANES, :] = jnp.swapaxes(
+                    out[:, t2 * LANES:(t2 + 1) * LANES, :], 1, 2
+                )
+            for t in range(tb):  # L2 lane gather  scratch -> out
+                out[t] = jnp.take_along_axis(scratch[t], idx_l2[:], axis=1)
+
+        # --- prologue -----------------------------------------------------
+        if mode in ("trial", "mc"):
+            qber = qber_ref[0, 0]
+            log_p = jnp.log((1.0 - qber) / qber)
+
+        if mode == "mc":
+            # Hardware-PRNG keys + exactly-num_errors error subset
+            # (reference channel semantics:
+            # src/array_and_matrix_operations.cpp:889-933).
+            pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+            num_errors = ne_ref[0, 0]
+            for blk in range(nbr):
+                abits = pltpu.bitcast(
+                    pltpu.prng_random_bits((tb, LANES)), jnp.uint32
+                )
+                alice[:, blk, :] = (abits & 1).astype(jnp.int32)
+            for blk in range(nbr):
+                ebits = pltpu.bitcast(
+                    pltpu.prng_random_bits((tb, LANES)), jnp.uint32
+                )
+                pos_idx = (
+                    jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 1)
+                    + blk * LANES
+                ).astype(jnp.uint32)
+                keys = (ebits >> idx_bits << idx_bits) | pos_idx
+                ekeys[:, blk, :] = jnp.where(
+                    bit_valid_ref[blk, :][None] != 0, keys,
+                    jnp.uint32(0xFFFFFFFF),
+                )
+            t_sel = jnp.zeros((tb, 1), jnp.uint32)
+            for b in reversed(range(32)):
+                cand = t_sel | jnp.uint32(1 << b)
+                cnt = jnp.zeros((tb, 1), jnp.int32)
+                for blk in range(nbr):
+                    cnt = cnt + jnp.sum(
+                        (ekeys[:, blk, :] < cand).astype(jnp.int32),
+                        axis=1, keepdims=True,
+                    )
+                t_sel = jnp.where(cnt < num_errors, cand, t_sel)
+
+        def alice_plane(blk):
+            if mode == "mc":
+                return alice[:, blk, :]
+            return alice_ref[:, blk, :]
+
+        if mode in ("trial", "mc"):
+            for blk in range(nbr):
+                if mode == "mc":
+                    flip = jnp.where(
+                        ne_ref[0, 0] > 0,
+                        (ekeys[:, blk, :] <= t_sel).astype(jnp.int32),
+                        0,
+                    )
+                    bobp = alice[:, blk, :] ^ flip
+                else:
+                    bobp = bob_ref[:, blk, :]
+                llrs[:, blk, :] = jnp.where(bobp == 1, -log_p, log_p).astype(dtype)
+
+        def llr_row(blk):
+            if mode in ("decode", "frame"):
+                return llr_ref[:, blk, :]
+            return llrs[:, blk, :]
+
+        # Alice syndrome (trial/mc/frame): replicate alice bit planes onto
+        # the bit-major edge space (f32-encoded 0/1), regroup to check-major,
+        # XOR-reduce per check group slot slab.
+        if mode in ("trial", "mc", "frame"):
+            for er in range(bit_edge_rows):
+                pong[:, er, :] = alice_plane(rep_src[er]).astype(dtype)
+            for er in range(bit_edge_rows, r):
+                pong[:, er, :] = jnp.zeros((tb, LANES), dtype)
+            permute(cm_tabs, pong, ping, msg)
+            for d, count, blocks, noff, eoff in plan.checks.groups:
+                acc = None
+                for s in range(d):
+                    slab = ping[:, eoff + s * blocks : eoff + (s + 1) * blocks, :]
+                    bi = (slab > 0.5).astype(jnp.int32)
+                    acc = bi if acc is None else acc ^ bi
+                asyn[:, noff:noff + blocks, :] = acc
+
+        def syn_slab(noff, blocks):
+            """[TB, blocks, 128] int32 Alice-syndrome slab."""
+            if mode == "decode":
+                return syn_ref[:, noff:noff + blocks, :]
+            return asyn[:, noff:noff + blocks, :]
+
+        # Initial decisions + check-aligned initial messages: stage LLRs
+        # onto the bit-major edge space (decision packed into the LSB),
+        # regroup to check-major (reference init:
+        # src/qkd_ldpc_algorithm.cpp:21-29).
+        for blk in range(nbr):
+            d0 = (llr_row(blk) <= 0).astype(jnp.int32)
+            dec[:, blk, :] = d0
+            frz[:, blk, :] = d0
+        for er in range(bit_edge_rows):
+            v = llr_row(rep_src[er])
+            if pack:
+                vi = jax.lax.bitcast_convert_type(v, jnp.int32)
+                vi = (vi & ~1) | dec[:, rep_src[er], :]
+                v = jax.lax.bitcast_convert_type(vi, dtype)
+            pong[:, er, :] = v
+        for er in range(bit_edge_rows, r):
+            pong[:, er, :] = jnp.full((tb, LANES), 1.0, dtype)
+        permute(cm_tabs, pong, msg, ping)
+        if spa:
+            # SPA transports decisions in their own permuted plane, staged
+            # bit-major in dstage and living check-major in `ping` (which is
+            # dead at every point the transported decisions are read).
+            for er in range(bit_edge_rows):
+                dstage[:, er, :] = dec[:, rep_src[er], :].astype(dtype)
+            for er in range(bit_edge_rows, r):
+                dstage[:, er, :] = jnp.zeros((tb, LANES), dtype)
+            permute(cm_tabs, dstage, ping, pong)
+
+        def dec_edge_slab(row_start, blocks):
+            """[TB, blocks, 128] int32 decisions on check-major edge rows."""
+            if pack:
+                vi = jax.lax.bitcast_convert_type(
+                    msg[:, row_start:row_start + blocks, :], jnp.int32
+                )
+                return vi & 1
+            return (
+                ping[:, row_start:row_start + blocks, :] > 0.5
+            ).astype(jnp.int32)
+
+        def dsyn_mismatch():
+            """([TB, 1] int32 total mismatch count, per-group planes)."""
+            total = jnp.zeros((tb, 1), jnp.int32)
+            mism = []
+            for d, count, blocks, noff, eoff in plan.checks.groups:
+                acc = None
+                for s in range(d):
+                    bi = dec_edge_slab(eoff + s * blocks, blocks)
+                    acc = bi if acc is None else acc ^ bi
+                mm = (acc ^ syn_slab(noff, blocks)) * (
+                    check_valid_ref[noff:noff + blocks, :][None]
+                )
+                mism.append(mm)
+                total = total + jnp.sum(
+                    jnp.sum(mm, axis=2, keepdims=True), axis=1
+                )
+            return total, mism
+
+        def check_pass(mism):
+            """mism: None (non-adaptive) or per-group mismatch planes."""
+            for gi, (d, count, blocks, noff, eoff) in enumerate(
+                plan.checks.groups
+            ):
+                msgs = [
+                    msg[:, eoff + s * blocks : eoff + (s + 1) * blocks, :]
+                    for s in range(d)
+                ]
+                ss = jnp.where(
+                    syn_slab(noff, blocks) == 1, -1.0, 1.0
+                ).astype(dtype)
+                if spa:
+                    ts = [tanh_fn(m * 0.5) for m in msgs]
+                    prod = ss
+                    for t in ts:
+                        prod = prod * t
+                    for s, t in enumerate(ts):
+                        msg[:, eoff + s * blocks : eoff + (s + 1) * blocks, :] = (
+                            clamp(
+                                (2.0 * atanh_fn(prod / t)).astype(dtype),
+                                threshold,
+                            )
+                        )
+                else:
+                    # Pairwise two-minimum chain: exact multiset semantics
+                    # (ties at the minimum emit min2 == min1, reference
+                    # :381-397).
+                    a = [jnp.abs(m) for m in msgs]
+                    min1 = a[0]
+                    min2 = jnp.full_like(min1, big)
+                    for ai in a[1:]:
+                        min2 = jnp.minimum(min2, jnp.maximum(min1, ai))
+                        min1 = jnp.minimum(min1, ai)
+                    neg = jnp.zeros(min1.shape, jnp.int32)
+                    for m in msgs:
+                        neg = neg + (m < 0).astype(jnp.int32)
+                    row_sign = ss * jnp.where(
+                        neg % 2 == 0, 1.0, -1.0
+                    ).astype(dtype)
+                    f = primary if mism is None else jnp.where(
+                        mism[gi] != 0, secondary, primary
+                    ).astype(dtype)
+                    for s in range(d):
+                        m, ai = msgs[s], a[s]
+                        excl = jnp.where(m > 0, 1.0, -1.0).astype(dtype)
+                        eabs = jnp.where(ai == min1, min2, min1)
+                        if algorithm in (
+                            DecodingAlgorithm.NMSA, DecodingAlgorithm.ANMSA
+                        ):
+                            val = f * row_sign * excl * eabs
+                        else:  # OMSA / AOMSA: offset, clamp at zero
+                            val = row_sign * excl * jnp.maximum(eabs - f, 0.0)
+                        msg[:, eoff + s * blocks : eoff + (s + 1) * blocks, :] = (
+                            clamp(val.astype(dtype), threshold)
+                        )
+
+        def bit_pass():
+            # extrinsics arrive bit-major in `ping` after the regroup
+            for d, count, blocks, noff, eoff in plan.bits.groups:
+                es = [
+                    ping[:, eoff + t * blocks : eoff + (t + 1) * blocks, :]
+                    for t in range(d)
+                ]
+                total = llr_slab(noff, blocks)
+                for e in es:
+                    total = total + e
+                dg = (total <= 0).astype(jnp.int32)
+                dec[:, noff:noff + blocks, :] = dg
+                for t, e in enumerate(es):
+                    v = clamp(total - e, threshold)
+                    if pack:
+                        vi = jax.lax.bitcast_convert_type(v, jnp.int32)
+                        vi = (vi & ~1) | dg
+                        v = jax.lax.bitcast_convert_type(vi, dtype)
+                    pong[:, eoff + t * blocks : eoff + (t + 1) * blocks, :] = v
+            for er in range(bit_edge_rows, r):
+                pong[:, er, :] = jnp.full((tb, LANES), 1.0, dtype)
+            if spa:
+                for er in range(bit_edge_rows):
+                    dstage[:, er, :] = dec[:, rep_src[er], :].astype(dtype)
+                for er in range(bit_edge_rows, r):
+                    dstage[:, er, :] = jnp.zeros((tb, LANES), dtype)
+
+        def llr_slab(noff, blocks):
+            if mode in ("decode", "frame"):
+                return llr_ref[:, noff:noff + blocks, :]
+            return llrs[:, noff:noff + blocks, :]
+
+        def regroup_to_bm():
+            # check-major extrinsics (msg, read-only) -> bit-major in ping
+            permute(bm_tabs, msg, ping, pong)
+
+        def regroup_to_cm():
+            # new bit->check messages (pong) -> check-major, directly in msg
+            permute(cm_tabs, pong, msg, ping)
+            if spa:
+                # decisions follow: bit-major dstage -> check-major ping
+                permute(cm_tabs, dstage, ping, pong)
+
+        def freeze(newly):
+            sel = newly != 0  # [TB, 1]
+            for blk in range(nbr):
+                frz[:, blk, :] = jnp.where(sel, dec[:, blk, :], frz[:, blk, :])
+
+        if not adaptive:
+
+            def body(carry):
+                it, converged, iters = carry
+                check_pass(None)
+                regroup_to_bm()
+                bit_pass()
+                regroup_to_cm()
+                total, _ = dsyn_mismatch()
+                ok = (total == 0).astype(jnp.int32)
+                newly = ok * (1 - converged)
+                iters = jnp.where(newly != 0, it + 1, iters)
+                freeze(newly)
+                return it + 1, jnp.maximum(converged, ok), iters
+
+        else:
+
+            def body(carry):
+                it, converged, iters = carry
+                # Convergence from the *previous* decision, detected inside
+                # the check pass; the same mismatch drives the factor
+                # (reference: :745-776).
+                total, mism = dsyn_mismatch()
+                ok = (total == 0).astype(jnp.int32)
+                newly = ok * (1 - converged)
+                iters = jnp.where(newly != 0, it + 1, iters)
+                freeze(newly)
+                converged = jnp.maximum(converged, ok)
+                check_pass(mism)
+                regroup_to_bm()
+                bit_pass()
+                regroup_to_cm()
+                return it + 1, converged, iters
+
+        def cond(carry):
+            it, converged, iters = carry
+            return (it < max_iterations) & ~jnp.all(converged != 0)
+
+        converged0 = jnp.zeros((tb, 1), jnp.int32)
+        iters0 = jnp.full((tb, 1), max_iterations, jnp.int32)
+        it, converged, iters = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), converged0, iters0)
+        )
+
+        csel = converged != 0  # [TB, 1]
+        if mode == "decode":
+            for blk in range(nbr):
+                dec_out[:, blk, :] = jnp.where(
+                    csel, frz[:, blk, :], dec[:, blk, :]
+                )
+            conv_out[:, :] = converged.astype(jnp.int8)
+            iter_out[:, :] = iters
+        else:
+            km = jnp.zeros((tb, 1), jnp.int32)
+            for blk in range(nbr):
+                final = jnp.where(csel, frz[:, blk, :], dec[:, blk, :])
+                diff = (final != alice_plane(blk)).astype(jnp.int32)
+                diff = diff * bit_valid_ref[blk, :][None]
+                km = km + jnp.sum(diff, axis=1, keepdims=True)
+            conv_out[:, :] = converged.astype(jnp.int8)
+            keys_out[:, :] = (km == 0).astype(jnp.int8)
+            iter_out[:, :] = iters
+
+    # --- pallas_call plumbing ---------------------------------------------
+    edge_f32 = pltpu.VMEM((tb, r, LANES), dtype)
+    scratch_shapes = [
+        edge_f32,  # msg
+        edge_f32,  # ping
+        edge_f32,  # pong
+        pltpu.VMEM((tb, nbr, LANES), jnp.int32),  # dec
+        pltpu.VMEM((tb, nbr, LANES), jnp.int32),  # frz
+    ]
+    if mode in ("trial", "frame", "mc"):
+        scratch_shapes.append(pltpu.VMEM((tb, mr, LANES), jnp.int32))  # asyn
+    if mode == "mc":
+        scratch_shapes.append(pltpu.VMEM((tb, nbr, LANES), jnp.int32))  # alice
+        scratch_shapes.append(pltpu.VMEM((tb, nbr, LANES), jnp.uint32))  # ekeys
+    scratch_shapes.append(
+        edge_f32 if spa else pltpu.VMEM((8, LANES), dtype)
+    )  # dstage
+    if mode in ("trial", "mc"):
+        scratch_shapes.append(pltpu.VMEM((tb, nbr, LANES), dtype))  # llrs
+
+    scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    def table_spec(shape):
+        if len(shape) == 2:
+            return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        return pl.BlockSpec(shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+
+    def tabs_of(p: PermutePlan):
+        return (
+            jnp.asarray(p.idx_l1), jnp.asarray(p.idx_c), jnp.asarray(p.bsel),
+            jnp.asarray(p.idx_a), jnp.asarray(p.idx_l2),
+        )
+
+    const_operands = (
+        tabs_of(plan.to_bm)
+        + tabs_of(plan.to_cm)
+        + (jnp.asarray(plan.bits.valid), jnp.asarray(plan.checks.valid))
+    )
+    const_specs = [table_spec(x.shape) for x in const_operands]
+
+    def plane_spec(rows):
+        return pl.BlockSpec(
+            (tb, rows, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    def col_spec():
+        return pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def stats_outputs(b):
+        shape = (
+            jax.ShapeDtypeStruct((b, 1), jnp.int8),
+            jax.ShapeDtypeStruct((b, 1), jnp.int8),
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        )
+        return shape, (col_spec(), col_spec(), col_spec())
+
+    def call(num_tiles, b, *operands):
+        if mode == "decode":
+            in_specs = const_specs + [
+                plane_spec(nbr), plane_spec(mr),
+                scalar_spec, scalar_spec, scalar_spec,
+            ]
+            out_shape = (
+                jax.ShapeDtypeStruct((b, nbr, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((b, 1), jnp.int8),
+                jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            )
+            out_specs = (plane_spec(nbr), col_spec(), col_spec())
+        elif mode == "trial":
+            in_specs = const_specs + [
+                plane_spec(nbr), plane_spec(nbr),
+                scalar_spec, scalar_spec, scalar_spec, scalar_spec,
+            ]
+            out_shape, out_specs = stats_outputs(b)
+        elif mode == "frame":
+            in_specs = const_specs + [
+                plane_spec(nbr), plane_spec(nbr),
+                scalar_spec, scalar_spec, scalar_spec,
+            ]
+            out_shape, out_specs = stats_outputs(b)
+        else:  # mc
+            smem_i32 = pl.BlockSpec(
+                (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+            )
+            in_specs = const_specs + [
+                smem_i32, smem_i32, scalar_spec, scalar_spec, scalar_spec,
+                scalar_spec,
+            ]
+            out_shape, out_specs = stats_outputs(b)
+        return pl.pallas_call(
+            kernel,
+            grid=(num_tiles,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(*const_operands, *operands)
+
+    return call, plan, dtype, tb
+
+
+# ---------------------------------------------------------------------------
+# Wrappers (XLA side: external order <-> plane order, batch padding)
+# ---------------------------------------------------------------------------
+
+
+def _plane_order(side: NodeSide, x: jax.Array, fill):
+    """[B, count] external-order values -> [B, rows, 128] plane order."""
+    b = x.shape[0]
+    rows = side.node_rows
+    flat = jnp.full((b, rows * LANES), fill, x.dtype)
+    flat = flat.at[:, jnp.asarray(side.plane_pos)].set(x)
+    return flat.reshape(b, rows, LANES)
+
+
+def _from_plane_order(side: NodeSide, planes: jax.Array):
+    """[B, rows, 128] -> [B, count] external order."""
+    b = planes.shape[0]
+    return planes.reshape(b, -1)[:, jnp.asarray(side.plane_pos)]
+
+
+def make_pallas_generic_decoder(
+    matrix: HMatrix,
+    algorithm: DecodingAlgorithm,
+    max_iterations: int,
+    use_threshold: bool,
+    dtype=jnp.float32,
+    batch_tile: int = 8,
+    interpret: bool = False,
+) -> Callable[..., DecodeResult]:
+    """Fused decode kernel for arbitrary sparse H. Same call signature as
+    ops/decoders.make_decoder; float32 only."""
+    if jnp.dtype(dtype) != jnp.float32:
+        raise ValueError("pallas generic decoder is float32-only")
+    call, plan, fdtype, tb = _build(
+        matrix, algorithm, max_iterations, use_threshold, batch_tile,
+        interpret, mode="decode",
+    )
+
+    def decode(llr_ext, syndrome_ext, primary=1.0, secondary=1.0,
+               threshold=0.0) -> DecodeResult:
+        b = llr_ext.shape[0]
+        pad = (-b) % tb
+        llr = jnp.pad(
+            llr_ext.astype(fdtype), ((0, pad), (0, 0)), constant_values=1.0
+        )
+        syn = jnp.pad(syndrome_ext.astype(jnp.int32), ((0, pad), (0, 0)))
+        llr_p = _plane_order(plan.bits, llr, 1.0)
+        syn_p = _plane_order(plan.checks, syn, 0)
+        prim = jnp.full((1, 1), primary, fdtype)
+        sec = jnp.full((1, 1), secondary, fdtype)
+        thr = jnp.full((1, 1), threshold, fdtype)
+        bp = b + pad
+        dec_p, conv, iters = call(bp // tb, bp, llr_p, syn_p, prim, sec, thr)
+        decision = _from_plane_order(plan.bits, dec_p).astype(jnp.int8)
+        return DecodeResult(
+            decision=decision[:b],
+            syndromes_match=conv[:b, 0].astype(bool),
+            iterations=iters[:b, 0],
+        )
+
+    return decode
+
+
+def make_pallas_generic_trial(
+    matrix: HMatrix,
+    algorithm: DecodingAlgorithm,
+    max_iterations: int,
+    use_threshold: bool,
+    batch_tile: int = 8,
+    interpret: bool = False,
+) -> Callable:
+    """Fused Monte-Carlo trial kernel: raw keys in, per-frame stats out."""
+    call, plan, fdtype, tb = _build(
+        matrix, algorithm, max_iterations, use_threshold, batch_tile,
+        interpret, mode="trial",
+    )
+
+    def trial(alice, bob, qber, primary=1.0, secondary=1.0, threshold=0.0):
+        b = alice.shape[0]
+        pad = (-b) % tb
+        alice = jnp.pad(alice.astype(jnp.int32), ((0, pad), (0, 0)))
+        bob = jnp.pad(bob.astype(jnp.int32), ((0, pad), (0, 0)))
+        a_p = _plane_order(plan.bits, alice, 0)
+        b_p = _plane_order(plan.bits, bob, 0)
+        qb = jnp.full((1, 1), qber, fdtype)
+        prim = jnp.full((1, 1), primary, fdtype)
+        sec = jnp.full((1, 1), secondary, fdtype)
+        thr = jnp.full((1, 1), threshold, fdtype)
+        bp = b + pad
+        conv, keys, iters = call(bp // tb, bp, a_p, b_p, qb, prim, sec, thr)
+        return (
+            conv[:b, 0].astype(bool),
+            keys[:b, 0].astype(bool),
+            iters[:b, 0],
+        )
+
+    return trial
+
+
+def make_pallas_generic_frame_trial(
+    matrix: HMatrix,
+    algorithm: DecodingAlgorithm,
+    max_iterations: int,
+    use_threshold: bool,
+    batch_tile: int = 8,
+    interpret: bool = False,
+) -> Callable:
+    """Fused trial kernel for prebuilt (rate-adapted) frames: the caller
+    supplies the extended Alice frame and its LLRs; the kernel owns Alice's
+    syndrome, the decode, and the key comparison."""
+    call, plan, fdtype, tb = _build(
+        matrix, algorithm, max_iterations, use_threshold, batch_tile,
+        interpret, mode="frame",
+    )
+
+    def trial(alice_frame, llr, primary=1.0, secondary=1.0, threshold=0.0):
+        b = alice_frame.shape[0]
+        pad = (-b) % tb
+        alice_frame = jnp.pad(alice_frame.astype(jnp.int32), ((0, pad), (0, 0)))
+        llr = jnp.pad(
+            llr.astype(fdtype), ((0, pad), (0, 0)), constant_values=1.0
+        )
+        a_p = _plane_order(plan.bits, alice_frame, 0)
+        llr_p = _plane_order(plan.bits, llr, 1.0)
+        prim = jnp.full((1, 1), primary, fdtype)
+        sec = jnp.full((1, 1), secondary, fdtype)
+        thr = jnp.full((1, 1), threshold, fdtype)
+        bp = b + pad
+        conv, keys, iters = call(bp // tb, bp, a_p, llr_p, prim, sec, thr)
+        return (
+            conv[:b, 0].astype(bool),
+            keys[:b, 0].astype(bool),
+            iters[:b, 0],
+        )
+
+    return trial
+
+
+def make_pallas_generic_montecarlo(
+    matrix: HMatrix,
+    algorithm: DecodingAlgorithm,
+    max_iterations: int,
+    use_threshold: bool,
+    batch: int,
+    batch_tile: int = 8,
+    interpret: bool = False,
+) -> Callable:
+    """Fully in-kernel Monte-Carlo trials for arbitrary H: hardware-PRNG
+    keys, exact-count error subset, decode, stats — HBM traffic is three
+    [B]-sized vectors per batch. TPU-only (the PRNG has no CPU interpret)."""
+    call, plan, fdtype, tb = _build(
+        matrix, algorithm, max_iterations, use_threshold, batch_tile,
+        interpret, mode="mc",
+    )
+    pad = (-batch) % tb
+    padded = batch + pad
+
+    def mc(seed, num_errors, qber, primary=1.0, secondary=1.0, threshold=0.0):
+        sd = jnp.full((1, 1), seed, jnp.int32)
+        ne = jnp.full((1, 1), num_errors, jnp.int32)
+        qb = jnp.full((1, 1), qber, fdtype)
+        prim = jnp.full((1, 1), primary, fdtype)
+        sec = jnp.full((1, 1), secondary, fdtype)
+        thr = jnp.full((1, 1), threshold, fdtype)
+        conv, keys, iters = call(
+            padded // tb, padded, sd, ne, qb, prim, sec, thr
+        )
+        return (
+            conv[:batch, 0].astype(bool),
+            keys[:batch, 0].astype(bool),
+            iters[:batch, 0],
+        )
+
+    return mc

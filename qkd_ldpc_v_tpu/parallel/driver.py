@@ -66,6 +66,7 @@ def sharded_step(
     cfg: Config,
     global_batch: int,
     mesh: Mesh,
+    reduce_stats: bool = False,
 ) -> Callable:
     """Build the mesh-sharded trial step.
 
@@ -73,24 +74,42 @@ def sharded_step(
     step but decoding ``global_batch`` frames spread over ``mesh``'s ``data``
     axis. ``global_batch`` must divide evenly (callers round up; surplus
     frames are sliced off host-side exactly like a short final chunk).
+
+    The per-device program honors ``cfg.use_pallas`` exactly like the
+    single-device factory (the fused kernels are batch-local, so each shard
+    runs its own pallas grid). Two-phase straggler re-decode is the one
+    single-device feature the mesh path drops — it needs host-side straggler
+    indices, which contradicts on-device aggregation; run_combination warns
+    when a config would have used it.
+
+    ``reduce_stats=True`` builds the fully-distributed aggregation mode for
+    multi-host campaigns: the step takes one extra ``valid_count`` scalar
+    (frames with global index >= valid_count are masked out — the short
+    final chunk) and returns the six ``psum_stats`` scalars instead of
+    per-frame arrays, so per-chunk host traffic is O(1) regardless of the
+    global batch (reference aggregation semantics:
+    src/simulation.cpp:580-690). The returned callable carries
+    ``.reduces = True`` so run_combination switches its accumulation.
     """
     n_dev = mesh.devices.size
     if global_batch % n_dev:
         raise ValueError(
             f"global batch {global_batch} not divisible by mesh size {n_dev}"
         )
+    local_batch = global_batch // n_dev
     local = _build_step(
         matrix,
         cfg.decoding_algorithm,
         cfg.decoding_alg_max_iterations,
         cfg.enable_msg_llr_threshold,
         cfg.enable_code_rate_adaptation,
-        global_batch // n_dev,
+        local_batch,
         cfg.dtype,
+        use_pallas=cfg.use_pallas,
     )
 
-    def worker(ka, ke, kp, qber, num_errors, primary, secondary, threshold,
-               pos_class, payload_gather):
+    def run_local(ka, ke, kp, qber, num_errors, primary, secondary,
+                  threshold, pos_class, payload_gather):
         idx = jax.lax.axis_index("data")
         ka = jax.random.fold_in(ka, idx)
         ke = jax.random.fold_in(ke, idx)
@@ -101,20 +120,56 @@ def sharded_step(
         )
 
     rep = P()  # replicated scalars / index vectors
+
+    if not reduce_stats:
+        fn = shard_map(
+            run_local,
+            mesh=mesh,
+            in_specs=(rep,) * 10,
+            out_specs=(P("data"), P("data"), P("data")),
+            check_vma=False,
+        )
+        jitted = jax.jit(fn)
+
+        def step(*args):
+            return jitted(*args)
+
+        step.reduces = False
+        return step
+
+    def reduce_worker(ka, ke, kp, qber, num_errors, primary, secondary,
+                      threshold, pos_class, payload_gather, valid_count):
+        syn, keys, iters = run_local(
+            ka, ke, kp, qber, num_errors, primary, secondary, threshold,
+            pos_class, payload_gather,
+        )
+        idx = jax.lax.axis_index("data")
+        gidx = idx * local_batch + jnp.arange(local_batch)
+        valid = gidx < valid_count
+        return psum_stats(syn & valid, keys, iters)
+
     fn = shard_map(
-        worker,
+        reduce_worker,
         mesh=mesh,
-        in_specs=(rep,) * 10,
-        out_specs=(P("data"), P("data"), P("data")),
+        in_specs=(rep,) * 11,
+        out_specs=(P(),) * 6,
         check_vma=False,
     )
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+
+    def step(*args):
+        return jitted(*args)
+
+    step.reduces = True
+    return step
 
 
-def mesh_step_factory(mesh: Mesh) -> Callable:
+def mesh_step_factory(mesh: Mesh, reduce_stats: bool = False) -> Callable:
     """A ``step_factory`` for simulation.run_combination that shards each
     combination's trial batches over ``mesh``. Rounds the requested batch up
-    to a multiple of the mesh size (the driver slices surplus frames off)."""
+    to a multiple of the mesh size (the driver slices surplus frames off;
+    with ``reduce_stats`` the surplus is masked on device instead and only
+    scalar statistics ever reach the host — see sharded_step)."""
     cache: dict = {}
 
     def factory(matrix: HMatrix, cfg: Config, batch: int) -> Callable:
@@ -128,10 +183,14 @@ def mesh_step_factory(mesh: Mesh) -> Callable:
             cfg.enable_code_rate_adaptation,
             global_batch,
             cfg.dtype,
+            cfg.use_pallas,
+            reduce_stats,
         )
         fn = cache.get(key)
         if fn is None:
-            fn = sharded_step(matrix, cfg, global_batch, mesh)
+            fn = sharded_step(
+                matrix, cfg, global_batch, mesh, reduce_stats=reduce_stats
+            )
             cache[key] = fn
         return fn
 

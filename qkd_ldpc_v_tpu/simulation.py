@@ -22,6 +22,7 @@ delta/f_EC grids, and scaling-factor crosses are pure data.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -58,6 +59,8 @@ from qkd_ldpc_v_tpu.rate_adapt import (
     finalize_bits_to_remove,
     get_punctured_bits_untainted,
 )
+
+logger = logging.getLogger("qkd_ldpc_v_tpu")
 
 
 class SimulationError(RuntimeError):
@@ -330,9 +333,39 @@ def _build_step(
     dtype = jnp.dtype(dtype)
     n_bits = matrix.num_bit_nodes
     bit_order = jnp.asarray(layout.bit_order)
-    pallas_active = (
-        use_pallas and matrix.qc is not None and dtype == jnp.float32
-    )
+    qc_active = use_pallas and matrix.qc is not None and dtype == jnp.float32
+    generic_active = False
+    if use_pallas and not qc_active and dtype == jnp.float32:
+        # Arbitrary (alist/PEG/dense) codes go through the fused generic
+        # kernel when their edge space fits its VMEM budget.
+        from qkd_ldpc_v_tpu.ops.pallas_generic import generic_plan_feasible
+
+        generic_active = generic_plan_feasible(matrix)
+    pallas_active = qc_active or generic_active
+    if qc_active:
+        from qkd_ldpc_v_tpu.ops import pallas_qc as _pk
+
+        mk_mc = lambda *a, **k: _pk.make_pallas_qc_montecarlo(  # noqa: E731
+            matrix.qc, *a, **k
+        )
+        mk_trial = lambda *a, **k: _pk.make_pallas_qc_trial(  # noqa: E731
+            matrix.qc, *a, **k
+        )
+        mk_frame = lambda *a, **k: _pk.make_pallas_qc_frame_trial(  # noqa: E731
+            matrix.qc, *a, **k
+        )
+    elif generic_active:
+        from qkd_ldpc_v_tpu.ops import pallas_generic as _pg
+
+        mk_mc = lambda *a, **k: _pg.make_pallas_generic_montecarlo(  # noqa: E731
+            matrix, *a, **k
+        )
+        mk_trial = lambda *a, **k: _pg.make_pallas_generic_trial(  # noqa: E731
+            matrix, *a, **k
+        )
+        mk_frame = lambda *a, **k: _pg.make_pallas_generic_frame_trial(  # noqa: E731
+            matrix, *a, **k
+        )
     interpret = jax.default_backend() == "cpu"
     trial_kernel = None
     mc_kernel = None
@@ -340,30 +373,21 @@ def _build_step(
         if not interpret and select_size <= 0:
             # Fastest path: PRNG, channel, decode, and statistics entirely
             # in-kernel (TPU only — the hardware PRNG has no CPU interpret).
-            from qkd_ldpc_v_tpu.ops.pallas_qc import make_pallas_qc_montecarlo
-
-            mc_kernel = make_pallas_qc_montecarlo(
-                matrix.qc, algorithm, max_iterations, use_threshold,
-                batch=batch,
+            mc_kernel = mk_mc(
+                algorithm, max_iterations, use_threshold, batch=batch,
             )
         else:
             # Trial kernel: host-generated keys, everything else in VMEM.
-            from qkd_ldpc_v_tpu.ops.pallas_qc import make_pallas_qc_trial
-
-            trial_kernel = make_pallas_qc_trial(
-                matrix.qc, algorithm, max_iterations, use_threshold,
-                interpret=interpret,
+            trial_kernel = mk_trial(
+                algorithm, max_iterations, use_threshold, interpret=interpret,
             )
         decode = None
     elif pallas_active:
         # Rate-adaptive: frames/LLRs are built in XLA (host-chosen puncture
         # and shorten positions), but syndrome, decode, and key comparison
         # stay fused in VMEM.
-        from qkd_ldpc_v_tpu.ops.pallas_qc import make_pallas_qc_frame_trial
-
-        frame_kernel = make_pallas_qc_frame_trial(
-            matrix.qc, algorithm, max_iterations, use_threshold,
-            interpret=interpret,
+        frame_kernel = mk_frame(
+            algorithm, max_iterations, use_threshold, interpret=interpret,
         )
 
         def decode_frames(llr_ext, alice_frame, primary, secondary, threshold):
@@ -795,6 +819,14 @@ def run_combination(
         else 0
     )
     if step_factory is not None:
+        if resolve_phase1_cap(cfg) and not cfg.use_pallas:
+            logger.warning(
+                "mesh step factory runs single-phase decode: the two-phase "
+                "straggler re-decode needs host-side straggler indices and "
+                "is only wired for the single-device path (results are "
+                "identical; throughput may differ). Set "
+                "tpu.phase1_iterations = 0 to silence this."
+            )
         step = step_factory(matrix, cfg, batch)
     elif phase1_cap:
         step = get_step(matrix, cfg, batch, max_iterations=phase1_cap)
@@ -826,12 +858,28 @@ def run_combination(
     iter_parts: List[np.ndarray] = []
     runtime_parts: List[np.ndarray] = []
 
+    reduce_mode = bool(getattr(step, "reduces", False))
+
+    def step_args(ka, ke, kp, take):
+        if reduce_mode:
+            return (ka, ke, kp) + scalar_args + (jnp.int32(take),)
+        return (ka, ke, kp) + scalar_args
+
     if cfg.enable_throughput_measurement and id(step) not in _WARMED_STEPS:
         # The reference times pure decode work; keep XLA trace/compile out
         # of the first chunk's runtime.
         ka, ke, kp = trial_keys(cfg.simulation_seed, sim_number, 0)
-        jax.block_until_ready(step(ka, ke, kp, *scalar_args))
+        jax.block_until_ready(step(*step_args(ka, ke, kp, min(batch, trials))))
         _WARMED_STEPS.add(id(step))
+
+    if reduce_mode:
+        # Fully-distributed aggregation: only the six psum_stats scalars per
+        # chunk cross to the host (reference aggregation semantics,
+        # src/simulation.cpp:580-690, computed from on-device sums).
+        return _run_chunks_reduced(
+            matrix, comb, cfg, sim_number, accurate_qber, step, step_args,
+            batch, trials, out_key_length, progress,
+        )
 
     done = 0
     chunk_index = 0
@@ -916,6 +964,100 @@ def run_combination(
         out_key_length,
         result,
     )
+    return result
+
+
+def _run_chunks_reduced(
+    matrix: HMatrix,
+    comb: SimCombination,
+    cfg: Config,
+    sim_number: int,
+    accurate_qber: float,
+    step: Callable,
+    step_args: Callable,
+    batch: int,
+    trials: int,
+    out_key_length: int,
+    progress,
+) -> SimResult:
+    """Chunk loop for reduce-mode mesh steps: per chunk only the six
+    psum_stats scalars reach the host, and the reference's statistics
+    (iteration stats over syndrome-successful trials, population std-dev —
+    src/simulation.cpp:580-690) are reconstructed from the on-device sums.
+    Per-frame arrays never leave the devices."""
+    n_dec = 0.0
+    n_ldpc = 0.0
+    it_sum = 0.0
+    it_sumsq = 0.0
+    it_min: Optional[float] = None
+    it_max: Optional[float] = None
+    tp_chunks: List[Tuple[int, float]] = []  # (trials in chunk, us/trial)
+    done = 0
+    chunk_index = 0
+    while done < trials:
+        take = min(batch, trials - done)
+        ka, ke, kp = trial_keys(cfg.simulation_seed, sim_number, chunk_index)
+        t0 = time.perf_counter()
+        d, l, s, ss, mn, mx = jax.device_get(
+            step(*step_args(ka, ke, kp, take))
+        )
+        elapsed_us = (time.perf_counter() - t0) * 1e6
+        d = float(d)
+        n_dec += d
+        n_ldpc += float(l)
+        it_sum += float(s)
+        it_sumsq += float(ss)
+        if d > 0:
+            it_min = float(mn) if it_min is None else min(it_min, float(mn))
+            it_max = float(mx) if it_max is None else max(it_max, float(mx))
+        if cfg.enable_throughput_measurement:
+            tp_chunks.append((take, elapsed_us / batch))
+        done += take
+        chunk_index += 1
+        if progress is not None:
+            progress(take)
+
+    result = SimResult(
+        sim_number=sim_number,
+        matrix_filename=Path(matrix.source_path).name if matrix.source_path else "",
+        is_regular=matrix.is_regular,
+        num_bit_nodes=matrix.num_bit_nodes,
+        num_check_nodes=matrix.num_check_nodes,
+        config_qber=comb.config_qber,
+        accurate_qber=accurate_qber,
+        delta=comb.matrix_params.delta,
+        efficiency=comb.matrix_params.efficiency,
+        punctured_fraction=comb.matrix_params.punctured_fraction,
+        shortened_fraction=comb.matrix_params.shortened_fraction,
+        adapted_code_rate=comb.matrix_params.adapted_code_rate,
+        scaling_factors=comb.scaling_factors,
+    )
+    if n_dec > 0:
+        mean = it_sum / n_dec
+        var = max(it_sumsq / n_dec - mean * mean, 0.0)
+        result.iter_success_mean = mean
+        result.iter_success_std = var**0.5
+        result.iter_success_min = int(it_min)
+        result.iter_success_max = int(it_max)
+    else:
+        result.iter_success_mean = 0.0
+        result.iter_success_std = 0.0
+        result.iter_success_min = 0
+        result.iter_success_max = 0
+    if cfg.enable_throughput_measurement and tp_chunks:
+        rtt_us = cfg.rtt_ms * 1000.0 if cfg.consider_rtt else 0.0
+        tps = np.array(
+            [out_key_length * 1e6 / (rt + rtt_us) for _, rt in tp_chunks]
+        )
+        w = np.array([t for t, _ in tp_chunks], dtype=np.float64)
+        mean = float((tps * w).sum() / w.sum())
+        var = max(float((tps * tps * w).sum() / w.sum() - mean * mean), 0.0)
+        result.throughput_mean = int(mean)
+        result.throughput_std = int(var**0.5)
+        result.throughput_min = int(tps.min())
+        result.throughput_max = int(tps.max())
+    result.ratio_trials_success_decoding = n_dec / trials
+    result.ratio_trials_success_ldpc = n_ldpc / trials
     return result
 
 

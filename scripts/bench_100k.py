@@ -1,0 +1,79 @@
+"""Measure N=102400 decode throughput on the real TPU (BASELINE.md entry).
+
+The reference's largest production suite is matrices_alist_100k_all
+(18 matrices, CW=3). The fused Pallas kernels gate out at this size, so the
+full driver path runs the generic XLA decoder with two-phase straggler
+re-decode. Usage:
+
+    python scripts/bench_100k.py [batch] [trials]
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax  # noqa: E402
+
+from qkd_ldpc_v_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+from qkd_ldpc_v_tpu.config import (  # noqa: E402
+    Config, DecodingAlgorithm, RQBERRange,
+)
+from qkd_ldpc_v_tpu.models.hmatrix import read_sparse_matrix_alist  # noqa: E402
+from qkd_ldpc_v_tpu.rate_adapt import HMatrixParams  # noqa: E402
+from qkd_ldpc_v_tpu.simulation import (  # noqa: E402
+    ScalingFactors, SimCombination, run_combination,
+)
+
+MATRIX = Path(
+    "/root/reference/sparse_matrices/matrices_alist_100k_all/"
+    "(N=102400,M=32001,R=0.69,CW=3,SEED=777).mtrx"
+)
+QBER = 0.03
+ALPHA = 0.8
+
+
+def main() -> int:
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    matrix = read_sparse_matrix_alist(MATRIX)
+
+    def cfg(n):
+        return Config(
+            trials_number=n,
+            simulation_seed=7,
+            decoding_algorithm=DecodingAlgorithm.NMSA,
+            decoding_alg_max_iterations=100,
+            r_qber_ranges=(RQBERRange(0.99, QBER, QBER, 0.01),),
+            batch_size=batch,
+        )
+
+    comb = SimCombination(QBER, HMatrixParams(), ScalingFactors(primary=ALPHA))
+    t0 = time.perf_counter()
+    warm = run_combination(matrix, comb, cfg(batch), sim_number=0)
+    print(
+        f"warmup {time.perf_counter()-t0:.1f}s "
+        f"FER={1-warm.ratio_trials_success_ldpc:.4f} "
+        f"iters={warm.iter_success_mean:.1f}",
+        file=sys.stderr,
+    )
+    t0 = time.perf_counter()
+    res = run_combination(matrix, comb, cfg(trials), sim_number=1)
+    dt = time.perf_counter() - t0
+    print(
+        f"N=102400 R=0.69 CW=3 NMSA alpha={ALPHA} QBER={QBER}: "
+        f"{trials} frames in {dt:.1f}s -> {trials/dt:.1f} frames/s "
+        f"({trials/dt*102400/1e6:.1f} Mbit/s raw key), "
+        f"FER={1-res.ratio_trials_success_ldpc:.4f} "
+        f"mean_iters={res.iter_success_mean:.1f}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

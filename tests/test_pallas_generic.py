@@ -1,0 +1,257 @@
+"""Fused generic-layout Pallas decoder (interpret mode on CPU) vs the XLA
+decoder, plus the Clos permutation plan it is built on.
+
+On converged frames the fused kernel must agree with the XLA decoder on
+decisions, convergence flags, and iteration counts; unconverged frames may
+diverge (decisions ride the message mantissa LSB — a deliberate 1-ulp
+perturbation documented in ops/pallas_generic.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qkd_ldpc_v_tpu.config import DecodingAlgorithm
+from qkd_ldpc_v_tpu.models.generator import generate_regular_ldpc
+from qkd_ldpc_v_tpu.models.hmatrix import from_dense
+from qkd_ldpc_v_tpu.models.layout import layout_for
+from qkd_ldpc_v_tpu.ops.channel import calculate_syndrome
+from qkd_ldpc_v_tpu.ops.decoders import make_decoder
+from qkd_ldpc_v_tpu.ops.pallas_generic import (
+    build_generic_plan,
+    generic_plan_feasible,
+    make_pallas_generic_decoder,
+    make_pallas_generic_frame_trial,
+    make_pallas_generic_trial,
+)
+from qkd_ldpc_v_tpu.ops.permute_plan import (
+    apply_plan_reference,
+    build_permute_plan,
+)
+
+
+# ---------------------------------------------------------------------------
+# Permutation plan
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("tiles", [1, 2])
+def test_permute_plan_realizes_any_permutation(tiles):
+    rng = np.random.default_rng(7 + tiles)
+    s = 128 * 128 * tiles
+    g = rng.permutation(s)
+    plan = build_permute_plan(g)
+    x = rng.standard_normal((3, s)).astype(np.float32)
+    np.testing.assert_array_equal(apply_plan_reference(plan, x), x[:, g])
+
+
+def test_permute_plan_rejects_non_permutation():
+    with pytest.raises(ValueError):
+        build_permute_plan(np.zeros(128 * 128, dtype=np.int64))
+
+
+# ---------------------------------------------------------------------------
+# Fused decoder
+# ---------------------------------------------------------------------------
+
+
+def irregular_matrix():
+    """Small irregular code: mixed column weights 2..5, mixed row weights."""
+    rng = np.random.default_rng(11)
+    n, m = 288, 144
+    dense = np.zeros((m, n), dtype=np.int8)
+    for col in range(n):
+        w = 2 + (col % 4)
+        rows = rng.choice(m, size=w, replace=False)
+        dense[rows, col] = 1
+    for row in range(m):  # no empty checks
+        if dense[row].sum() == 0:
+            dense[row, rng.integers(0, n)] = 1
+    return from_dense(dense)
+
+
+def channel_case(matrix, batch, qber, seed):
+    rng = np.random.default_rng(seed)
+    n = matrix.num_bit_nodes
+    alice = jnp.asarray(rng.integers(0, 2, (batch, n)), jnp.int8)
+    bob = alice ^ jnp.asarray(rng.random((batch, n)) < qber, jnp.int8)
+    log_p = float(np.log((1 - qber) / qber))
+    llr = jnp.where(bob == 1, -log_p, log_p).astype(jnp.float32)
+    syn = calculate_syndrome(layout_for(matrix), alice)
+    return alice, bob, llr, syn
+
+
+ALG_CASES = [
+    (DecodingAlgorithm.SPA, 1.0, 1.0),
+    (DecodingAlgorithm.SPA_APPROX, 1.0, 1.0),
+    (DecodingAlgorithm.NMSA, 0.8, 1.0),
+    (DecodingAlgorithm.OMSA, 0.3, 1.0),
+    (DecodingAlgorithm.ANMSA, 0.88, 0.5),
+    (DecodingAlgorithm.AOMSA, 0.3, 0.6),
+]
+
+
+@pytest.mark.parametrize("algorithm,primary,secondary", ALG_CASES)
+@pytest.mark.parametrize("use_threshold", [False, True])
+def test_matches_xla_decoder(medium_matrix, algorithm, primary, secondary,
+                             use_threshold):
+    alice, bob, llr, syn = channel_case(medium_matrix, 8, 0.03, 3)
+    layout = layout_for(medium_matrix)
+    thr = 60.0
+    generic = jax.jit(
+        make_decoder(layout, algorithm, 30, use_threshold, jnp.float32)
+    )
+    fused = jax.jit(
+        make_pallas_generic_decoder(
+            medium_matrix, algorithm, 30, use_threshold,
+            batch_tile=8, interpret=True,
+        )
+    )
+    rg = generic(llr, syn, primary, secondary, thr)
+    rk = fused(llr, syn, primary, secondary, thr)
+    conv = np.asarray(rk.syndromes_match)
+    np.testing.assert_array_equal(conv, np.asarray(rg.syndromes_match))
+    if not algorithm.is_adaptive:
+        np.testing.assert_array_equal(
+            np.asarray(rk.iterations), np.asarray(rg.iterations)
+        )
+        # converged frames must agree bit-for-bit
+        np.testing.assert_array_equal(
+            np.asarray(rk.decision)[conv], np.asarray(rg.decision)[conv]
+        )
+    else:
+        # The decision bit rides the message mantissa LSB; the resulting
+        # 1-ulp damping feeds back through the adaptive per-check factor
+        # selection, shifting convergence by a few iterations (same
+        # tolerance as the QC kernel's adaptive pair).
+        assert np.abs(
+            np.asarray(rk.iterations) - np.asarray(rg.iterations)
+        ).max() <= 4
+        both = conv & np.asarray(rg.syndromes_match)
+        same_it = both & (
+            np.asarray(rk.iterations) == np.asarray(rg.iterations)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rk.decision)[same_it], np.asarray(rg.decision)[same_it]
+        )
+
+
+def test_irregular_code_matches():
+    matrix = irregular_matrix()
+    assert generic_plan_feasible(matrix)
+    plan = build_generic_plan(matrix)
+    assert len(plan.bits.groups) >= 3  # genuinely irregular
+    alice, bob, llr, syn = channel_case(matrix, 8, 0.02, 5)
+    layout = layout_for(matrix)
+    generic = jax.jit(
+        make_decoder(layout, DecodingAlgorithm.NMSA, 40, False, jnp.float32)
+    )
+    fused = jax.jit(
+        make_pallas_generic_decoder(
+            matrix, DecodingAlgorithm.NMSA, 40, False,
+            batch_tile=8, interpret=True,
+        )
+    )
+    rg = generic(llr, syn, 0.8, 1.0, 0.0)
+    rk = fused(llr, syn, 0.8, 1.0, 0.0)
+    conv = np.asarray(rk.syndromes_match)
+    np.testing.assert_array_equal(conv, np.asarray(rg.syndromes_match))
+    np.testing.assert_array_equal(
+        np.asarray(rk.iterations), np.asarray(rg.iterations)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rk.decision)[conv], np.asarray(rg.decision)[conv]
+    )
+
+
+def test_multi_tile_code_matches():
+    """Edge space spanning several 128x128 tiles exercises the B-select and
+    cross-tile routing stages."""
+    matrix = generate_regular_ldpc(
+        num_bits=4096, num_checks=2048, column_weight=5, seed=21
+    )
+    plan = build_generic_plan(matrix)
+    assert plan.n_tiles >= 2
+    alice, bob, llr, syn = channel_case(matrix, 8, 0.02, 9)
+    layout = layout_for(matrix)
+    generic = jax.jit(
+        make_decoder(layout, DecodingAlgorithm.NMSA, 12, False, jnp.float32)
+    )
+    fused = jax.jit(
+        make_pallas_generic_decoder(
+            matrix, DecodingAlgorithm.NMSA, 12, False,
+            batch_tile=8, interpret=True,
+        )
+    )
+    rg = generic(llr, syn, 0.8, 1.0, 0.0)
+    rk = fused(llr, syn, 0.8, 1.0, 0.0)
+    conv = np.asarray(rk.syndromes_match)
+    np.testing.assert_array_equal(conv, np.asarray(rg.syndromes_match))
+    np.testing.assert_array_equal(
+        np.asarray(rk.iterations), np.asarray(rg.iterations)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rk.decision)[conv], np.asarray(rg.decision)[conv]
+    )
+
+
+def test_trial_kernel_matches_decode(medium_matrix):
+    alice, bob, llr, syn = channel_case(medium_matrix, 8, 0.02, 13)
+    fused = jax.jit(
+        make_pallas_generic_decoder(
+            medium_matrix, DecodingAlgorithm.NMSA, 30, False,
+            batch_tile=8, interpret=True,
+        )
+    )
+    trial = jax.jit(
+        make_pallas_generic_trial(
+            medium_matrix, DecodingAlgorithm.NMSA, 30, False,
+            batch_tile=8, interpret=True,
+        )
+    )
+    rd = fused(llr, syn, 0.8, 1.0, 0.0)
+    conv, keys, iters = trial(alice, bob, 0.02, 0.8, 1.0, 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(conv), np.asarray(rd.syndromes_match)
+    )
+    np.testing.assert_array_equal(np.asarray(iters), np.asarray(rd.iterations))
+    expect_keys = np.all(
+        np.asarray(rd.decision) == np.asarray(alice), axis=1
+    ) & np.asarray(conv)
+    got = np.asarray(keys)
+    np.testing.assert_array_equal(got[np.asarray(conv)],
+                                  expect_keys[np.asarray(conv)])
+
+
+def test_frame_kernel_runs(medium_matrix):
+    alice, bob, llr, syn = channel_case(medium_matrix, 6, 0.02, 17)
+    frame = jax.jit(
+        make_pallas_generic_frame_trial(
+            medium_matrix, DecodingAlgorithm.NMSA, 30, False,
+            batch_tile=8, interpret=True,
+        )
+    )
+    conv, keys, iters = frame(alice, llr, 0.8, 1.0, 0.0)
+    assert np.asarray(conv).all()  # easy point: everything decodes
+    assert np.asarray(keys).all()
+    assert (np.asarray(iters) <= 30).all()
+
+
+def test_batch_padding(medium_matrix):
+    """Batch not divisible by the tile: padding frames must not leak."""
+    alice, bob, llr, syn = channel_case(medium_matrix, 5, 0.02, 19)
+    fused = jax.jit(
+        make_pallas_generic_decoder(
+            medium_matrix, DecodingAlgorithm.NMSA, 30, False,
+            batch_tile=8, interpret=True,
+        )
+    )
+    r = fused(llr, syn, 0.8, 1.0, 0.0)
+    assert r.decision.shape == (5, medium_matrix.num_bit_nodes)
+    assert np.asarray(r.syndromes_match).all()
+
+
+def test_feasibility_gate():
+    tiny = generate_regular_ldpc(num_bits=96, num_checks=48, column_weight=3,
+                                 seed=7)
+    assert generic_plan_feasible(tiny)

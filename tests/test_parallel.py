@@ -108,6 +108,52 @@ def test_psum_stats_matches_host_aggregation():
     assert it_max == iters[syn].max()
 
 
+def test_reduce_mode_matches_gathered_mode(medium_matrix):
+    """reduce_stats=True moves only six scalars per chunk to the host; the
+    resulting statistics must equal the gathered per-frame path exactly
+    (same mesh, same PRNG folding, same trials)."""
+    cfg = _cfg(trials_number=48, batch_size=16)  # 3 chunks of 16
+    mesh = make_data_mesh()
+    comb = SimCombination(0.02, HMatrixParams(), ScalingFactors())
+    gathered = run_combination(
+        medium_matrix, comb, cfg, sim_number=0,
+        step_factory=mesh_step_factory(mesh),
+    )
+    reduced = run_combination(
+        medium_matrix, comb, cfg, sim_number=0,
+        step_factory=mesh_step_factory(mesh, reduce_stats=True),
+    )
+    assert reduced.ratio_trials_success_ldpc == gathered.ratio_trials_success_ldpc
+    assert reduced.ratio_trials_success_decoding == (
+        gathered.ratio_trials_success_decoding
+    )
+    assert reduced.iter_success_mean == pytest.approx(gathered.iter_success_mean)
+    assert reduced.iter_success_std == pytest.approx(gathered.iter_success_std)
+    assert reduced.iter_success_min == gathered.iter_success_min
+    assert reduced.iter_success_max == gathered.iter_success_max
+
+
+def test_reduce_mode_masks_short_final_chunk(medium_matrix):
+    """trials=20 on 8 devices -> global batch 24; the 4 surplus frames must
+    be masked on device, not counted."""
+    cfg = _cfg(trials_number=20)
+    mesh = make_data_mesh()
+    comb = SimCombination(0.02, HMatrixParams(), ScalingFactors())
+    reduced = run_combination(
+        medium_matrix, comb, cfg, sim_number=0,
+        step_factory=mesh_step_factory(mesh, reduce_stats=True),
+    )
+    # denominators are the requested 20 trials; a mask bug would push the
+    # success ratio above 1 or count ghost successes
+    assert 0.0 <= reduced.ratio_trials_success_ldpc <= 1.0
+    gathered = run_combination(
+        medium_matrix, comb, cfg, sim_number=0,
+        step_factory=mesh_step_factory(mesh),
+    )
+    assert reduced.ratio_trials_success_ldpc == gathered.ratio_trials_success_ldpc
+    assert reduced.iter_success_mean == pytest.approx(gathered.iter_success_mean)
+
+
 def test_mesh_with_pallas_interpret(medium_matrix):
     """The data mesh composes with the fused (interpret-mode) kernel: each
     device runs its own pallas grid over its shard."""
