@@ -47,6 +47,23 @@ from qkd_ldpc_v_tpu.ops.decoders import DecodeResult
 from qkd_ldpc_v_tpu.ops.linapprox import atanh_lin_approx, tanh_lin_approx
 
 
+def feasible_batch_tile(qc: QCMatrix, mode: str = "mc") -> int:
+    """Largest workable batch tile for the fused QC kernel, or 0 when the
+    code cannot fit VMEM at any tile (the driver then falls back to the
+    generic paths). Scratch: messages (num_be planes) + decisions/frozen/
+    LLR/syndrome planes, plus the MC mode's key and sort-key planes."""
+    if qc.lifting % 128:
+        return 0
+    num_be = int((qc.shifts >= 0).sum())
+    nb, mb = qc.base_bits, qc.base_checks
+    planes = num_be + 3 * nb + mb + (2 * nb if mode == "mc" else 0)
+    budget = 12 * 1024 * 1024  # leave headroom under the 16 MB VMEM limit
+    for tile in (24, 16, 8):
+        if planes * tile * qc.lifting * 4 <= budget:
+            return tile
+    return 0
+
+
 def _base_tables(qc: QCMatrix):
     """rows[r] = [(be, c, s)], cols[c] = [(be, r, s)], in storage order."""
     rows = []

@@ -333,11 +333,17 @@ def _build_step(
     dtype = jnp.dtype(dtype)
     n_bits = matrix.num_bit_nodes
     bit_order = jnp.asarray(layout.bit_order)
-    qc_active = use_pallas and matrix.qc is not None and dtype == jnp.float32
+    qc_tile = 0
+    if use_pallas and matrix.qc is not None and dtype == jnp.float32:
+        from qkd_ldpc_v_tpu.ops.pallas_qc import feasible_batch_tile
+
+        qc_tile = feasible_batch_tile(matrix.qc)
+    qc_active = qc_tile > 0
     generic_active = False
     if use_pallas and not qc_active and dtype == jnp.float32:
-        # Arbitrary (alist/PEG/dense) codes go through the fused generic
-        # kernel when their edge space fits its VMEM budget.
+        # Arbitrary (alist/PEG/dense) codes — and QC codes too large for the
+        # QC kernel's VMEM budget — go through the fused generic kernel when
+        # their edge space fits.
         from qkd_ldpc_v_tpu.ops.pallas_generic import generic_plan_feasible
 
         generic_active = generic_plan_feasible(matrix)
@@ -346,13 +352,13 @@ def _build_step(
         from qkd_ldpc_v_tpu.ops import pallas_qc as _pk
 
         mk_mc = lambda *a, **k: _pk.make_pallas_qc_montecarlo(  # noqa: E731
-            matrix.qc, *a, **k
+            matrix.qc, *a, batch_tile=qc_tile, **k
         )
         mk_trial = lambda *a, **k: _pk.make_pallas_qc_trial(  # noqa: E731
-            matrix.qc, *a, **k
+            matrix.qc, *a, batch_tile=min(qc_tile, 16), **k
         )
         mk_frame = lambda *a, **k: _pk.make_pallas_qc_frame_trial(  # noqa: E731
-            matrix.qc, *a, **k
+            matrix.qc, *a, batch_tile=min(qc_tile, 16), **k
         )
     elif generic_active:
         from qkd_ldpc_v_tpu.ops import pallas_generic as _pg
