@@ -55,6 +55,11 @@ from qkd_ldpc_v_tpu.ops.permute_plan import LANES, PermutePlan, build_permute_pl
 # [TB, Tn*128, 128] f32 plus planes and index tables must fit 16 MB VMEM.
 MAX_TILES = 4
 
+# Profiling hook (scripts only): replace the seven-stage regroup with a
+# plain copy to measure the permutation's share of the iteration. Decoding
+# is WRONG with this on; never set it outside perf probes.
+_PROFILE_SKIP_PERMUTE = False
+
 
 @dataclass(frozen=True)
 class NodeSide:
@@ -307,6 +312,12 @@ def _build(
             result in `out`, clobbers `scratch`. Stage parity is arranged so
             the final lane gather lands in `out` with no trailing copy."""
             idx_l1, idx_c, bsel, idx_a, idx_l2 = tabs
+            if _PROFILE_SKIP_PERMUTE:
+                for t2 in range(tn):
+                    out[:, t2 * LANES:(t2 + 1) * LANES, :] = src[
+                        :, t2 * LANES:(t2 + 1) * LANES, :
+                    ]
+                return
             for t in range(tb):  # L1 lane gather  src -> out
                 out[t] = jnp.take_along_axis(src[t], idx_l1[:], axis=1)
             for t2 in range(tn):  # tile transpose  out -> scratch

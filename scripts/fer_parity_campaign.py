@@ -1,0 +1,170 @@
+"""Statistical FER parity campaign vs the compiled reference decoder.
+
+Runs matched-channel Monte-Carlo trials (identical alice/bob keys) through
+BOTH the reference C++ decoder core (tools/reference_harness, compiled from
+/root/reference/src) and this framework's production f32 path, at
+production scale (reference 10k matrix, 1e4 trials, several QBER points,
+NMSA + AOMSA), and reports FER agreement with binomial confidence
+intervals. Because the channels are identical, the per-frame agreement rate
+is reported too (f64 mode is bit-exact per frame — tests/
+test_reference_parity.py; f32 is the speed path whose FER must match
+statistically).
+
+Output: a markdown table (append to PARITY.md §"FER parity at production
+scale") plus one JSON line per point.
+
+Usage: python scripts/fer_parity_campaign.py [trials] [--cpu]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+ROOT = Path(__file__).resolve().parents[1]
+HARNESS = ROOT / "tools" / "reference_harness" / "ref_harness"
+MATRIX = Path(
+    "/root/reference/sparse_matrices/matrices_alist_10k_all/"
+    "(N=10240,M=2841,R=0.72,CW=4,SEED=666).mtrx"
+)
+N = 10240
+CHUNK = 1000
+
+POINTS = [
+    # (algorithm id, name, primary, secondary, qber)
+    (2, "NMSA", 0.8, 1.0, 0.025),
+    (2, "NMSA", 0.8, 1.0, 0.03),
+    (5, "AOMSA", 0.5, 1.0, 0.03),
+]
+
+
+def gen_channel(rng, batch, qber):
+    alice = rng.integers(0, 2, (batch, N)).astype(np.int8)
+    bob = alice.copy()
+    k = int(N * qber)
+    for b in range(batch):
+        pos = rng.permutation(N)[:k]
+        bob[b, pos] ^= 1
+    return alice, bob, k / N
+
+
+def run_reference(alg, primary, secondary, alice, bob, qber):
+    batch = alice.shape[0]
+    lines = [f"{batch} {qber:.10f}"]
+    lines += [" ".join(map(str, row)) for row in alice]
+    lines += [" ".join(map(str, row)) for row in bob]
+    out = subprocess.run(
+        [str(HARNESS), str(MATRIX), "1", str(alg), "100",
+         str(primary), str(secondary), "0"],
+        input="\n".join(lines) + "\n",
+        capture_output=True, text=True, check=True,
+    )
+    conv, keys, iters = [], [], []
+    for line in out.stdout.strip().splitlines():
+        toks = line.split()
+        iters.append(int(toks[0]))
+        conv.append(toks[1] == "1")
+        keys.append(toks[2] == "1")
+    return np.array(conv), np.array(keys), np.array(iters)
+
+
+def wilson_ci(k, n, z=1.96):
+    if n == 0:
+        return (0.0, 1.0)
+    p = k / n
+    d = 1 + z * z / n
+    c = (p + z * z / (2 * n)) / d
+    h = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / d
+    return (max(0.0, c - h), min(1.0, c + h))
+
+
+def main() -> int:
+    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+    force_cpu = "--cpu" in sys.argv
+    if force_cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if not HARNESS.exists():
+        subprocess.run(["make", "-C", str(HARNESS.parent)], check=True)
+
+    import jax
+
+    from qkd_ldpc_v_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    from qkd_ldpc_v_tpu.config import DecodingAlgorithm
+    from qkd_ldpc_v_tpu.models.hmatrix import read_sparse_matrix_alist
+    from qkd_ldpc_v_tpu.ops.pallas_generic import make_pallas_generic_trial
+
+    interpret = jax.default_backend() == "cpu"
+    matrix = read_sparse_matrix_alist(MATRIX)
+    print(f"device: {jax.devices()[0]}  trials/point: {trials}",
+          file=sys.stderr, flush=True)
+
+    rows = ["| alg | QBER | FER ref (95% CI) | FER tpu (95% CI) | "
+            "frame agreement | iters ref/tpu |",
+            "|---|---|---|---|---|---|"]
+    for alg, name, primary, secondary, qber in POINTS:
+        trial = jax.jit(make_pallas_generic_trial(
+            matrix, DecodingAlgorithm(alg), 100, False,
+            batch_tile=8, interpret=interpret,
+        ))
+        rng = np.random.default_rng(977 + alg)
+        rc = rk = oc = ok_ = agree = n_done = 0
+        ri_sum = oi_sum = 0
+        t0 = time.perf_counter()
+        while n_done < trials:
+            take = min(CHUNK, trials - n_done)
+            alice, bob, q = gen_channel(rng, take, qber)
+            conv_r, keys_r, iters_r = run_reference(
+                alg, primary, secondary, alice, bob, q
+            )
+            import jax.numpy as jnp
+            conv_o, keys_o, iters_o = trial(
+                jnp.asarray(alice), jnp.asarray(bob), q, primary, secondary,
+                0.0,
+            )
+            conv_o = np.asarray(conv_o)
+            keys_o = np.asarray(keys_o)
+            ok_r = conv_r & keys_r
+            ok_o = conv_o & keys_o
+            rc += conv_r.sum(); rk += ok_r.sum()
+            oc += conv_o.sum(); ok_ += ok_o.sum()
+            agree += (ok_r == ok_o).sum()
+            ri_sum += iters_r[conv_r].sum()
+            oi_sum += np.asarray(iters_o)[conv_o].sum()
+            n_done += take
+            print(f"  {name} q={qber}: {n_done}/{trials} "
+                  f"({time.perf_counter()-t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+        fer_r, fer_o = 1 - rk / n_done, 1 - ok_ / n_done
+        lo_r, hi_r = wilson_ci(n_done - rk, n_done)
+        lo_o, hi_o = wilson_ci(n_done - ok_, n_done)
+        overlap = not (hi_r < lo_o or hi_o < lo_r)
+        rows.append(
+            f"| {name}({primary}"
+            + (f",{secondary}" if alg >= 4 else "")
+            + f") | {qber} | {fer_r:.4f} [{lo_r:.4f},{hi_r:.4f}] "
+            f"| {fer_o:.4f} [{lo_o:.4f},{hi_o:.4f}] "
+            f"| {agree/n_done:.4f} | {ri_sum/max(rc,1):.1f}/"
+            f"{oi_sum/max(oc,1):.1f} |"
+        )
+        print(json.dumps({
+            "alg": name, "qber": qber, "trials": n_done,
+            "fer_ref": round(fer_r, 5), "fer_tpu": round(fer_o, 5),
+            "ci_overlap": overlap, "frame_agreement": round(agree / n_done, 5),
+        }), flush=True)
+    print("\n".join(rows))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

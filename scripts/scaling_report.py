@@ -33,6 +33,10 @@ def main() -> int:
     p.add_argument("--bits", type=int, default=10240)
     p.add_argument("--alpha", type=float, default=0.7)
     p.add_argument("--max-iters", type=int, default=100)
+    p.add_argument("--max-devices", type=int, default=0,
+                   help="cap the device ladder (0 = all)")
+    p.add_argument("--reduce-stats", action="store_true",
+                   help="use the O(1)-host-traffic reduce-mode mesh steps")
     args = p.parse_args()
 
     import jax
@@ -85,9 +89,12 @@ def main() -> int:
 
     results = []
     n = 1
-    while n <= len(devices):
+    limit = len(devices) if args.max_devices <= 0 else min(
+        args.max_devices, len(devices)
+    )
+    while n <= limit:
         mesh = make_data_mesh(n)
-        factory = mesh_step_factory(mesh)
+        factory = mesh_step_factory(mesh, reduce_stats=args.reduce_stats)
         run_combination(matrix, comb, cfg, 0, step_factory=factory)  # warm
         t0 = time.perf_counter()
         res = run_combination(matrix, comb, cfg, 1, step_factory=factory)

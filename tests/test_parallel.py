@@ -174,6 +174,30 @@ def test_mesh_with_pallas_interpret(medium_matrix):
     assert res.iter_success_mean > 0
 
 
+def test_scaling_report_script_runs():
+    """CI-style exercise of scripts/scaling_report.py on the CPU mesh."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    out = subprocess.run(
+        [sys.executable, str(root / "scripts" / "scaling_report.py"),
+         "--trials", "64", "--bits", "512", "--max-iters", "20",
+         "--max-devices", "2", "--qber", "0.02", "--reduce-stats"],
+        capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ,
+             "JAX_PLATFORMS": "cpu",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["metric"] == "scaling"
+    assert [r["devices"] for r in payload["results"]] == [1, 2]
+    assert all(r["frames_per_s"] > 0 for r in payload["results"])
+
+
 def test_edge_sharded_decoder_matches_unsharded(medium_matrix):
     """Edge-axis sharding (the model-parallel analogue): identical results,
     XLA inserts the regroup collectives."""
