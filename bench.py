@@ -40,7 +40,10 @@ TARGET_FRAMES_PER_S = 1e5  # BASELINE.md north star, v5e chip
 QBER = 0.03
 MAX_ITERATIONS = 100
 QC_ALPHA = 0.65  # tuned for the headline QC-PEG code (FER ~0 at QBER 0.03)
-ALIST_ALPHA = 0.80  # the reference operating point for its alist suite
+# Tuned on-device sweep (alpha is a traced scalar — no recompile): 0.7
+# gives both the best FER (0.0015 vs 0.0198 at the round-1 0.8) and the
+# fastest convergence on the reference's alist PEG code at QBER 0.03.
+ALIST_ALPHA = 0.70
 
 
 def _measure(matrix, alpha, cfg_extra, batch, steps, label):

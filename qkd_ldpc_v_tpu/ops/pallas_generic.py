@@ -270,7 +270,6 @@ def _build(
 
     idx_bits = max(1, (nbr * LANES - 1).bit_length())
     bit_edge_rows = plan.bits.edge_rows
-    rep_src = [int(v) for v in plan.bits.rep_src]
 
     def clamp(x, threshold):
         if use_threshold:
@@ -301,8 +300,7 @@ def _build(
         else:  # mc
             (seed_ref, ne_ref, qber_ref, prim_ref, sec_ref, thr_ref,
              conv_out, keys_out, iter_out,
-             msg, ping, pong, dec, frz, asyn, alice, ekeys, dstage,
-             llrs) = rest
+             msg, ping, pong, dec, frz, asyn, alice, dstage, llrs) = rest
         primary = prim_ref[0, 0]
         secondary = sec_ref[0, 0]
         threshold = thr_ref[0, 0]
@@ -346,6 +344,10 @@ def _build(
                 out[t] = jnp.take_along_axis(scratch[t], idx_l2[:], axis=1)
 
         # --- prologue -----------------------------------------------------
+        # Everything here runs on whole-array or slab-granularity ops:
+        # Mosaic's per-instruction overhead makes hundreds of one-vreg
+        # [TB, 128] ops far slower than a handful of multi-vreg slab ops
+        # (measured ~140 us/tile for the original per-row formulation).
         if mode in ("trial", "mc"):
             qber = qber_ref[0, 0]
             log_p = jnp.log((1.0 - qber) / qber)
@@ -353,69 +355,87 @@ def _build(
         if mode == "mc":
             # Hardware-PRNG keys + exactly-num_errors error subset
             # (reference channel semantics:
-            # src/array_and_matrix_operations.cpp:889-933).
+            # src/array_and_matrix_operations.cpp:889-933). Wide flat values
+            # [TB, nbr*128]: one PRNG call each for keys and sort keys, and
+            # the 32-pass bitwise k-th-smallest selection reduces the whole
+            # flat row per pass.
             pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
             num_errors = ne_ref[0, 0]
-            for blk in range(nbr):
-                abits = pltpu.bitcast(
-                    pltpu.prng_random_bits((tb, LANES)), jnp.uint32
-                )
-                alice[:, blk, :] = (abits & 1).astype(jnp.int32)
-            for blk in range(nbr):
-                ebits = pltpu.bitcast(
-                    pltpu.prng_random_bits((tb, LANES)), jnp.uint32
-                )
-                pos_idx = (
-                    jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 1)
-                    + blk * LANES
-                ).astype(jnp.uint32)
-                keys = (ebits >> idx_bits << idx_bits) | pos_idx
-                ekeys[:, blk, :] = jnp.where(
-                    bit_valid_ref[blk, :][None] != 0, keys,
-                    jnp.uint32(0xFFFFFFFF),
-                )
+            width = nbr * LANES
+            abits = pltpu.bitcast(
+                pltpu.prng_random_bits((tb, width)), jnp.uint32
+            )
+            alice_flat = (abits & 1).astype(jnp.int32)
+            ebits = pltpu.bitcast(
+                pltpu.prng_random_bits((tb, width)), jnp.uint32
+            )
+            pos_idx = jax.lax.broadcasted_iota(
+                jnp.int32, (tb, width), 1
+            )
+            # valid-lane mask in flat coordinates: group h's lanes are valid
+            # while their in-group offset is < count
+            valid_flat = jnp.zeros((tb, width), jnp.int32)
+            for d, count, blocks, noff, eoff in plan.bits.groups:
+                lo = noff * LANES
+                valid_flat = valid_flat | (
+                    (pos_idx >= lo) & (pos_idx < lo + count)
+                ).astype(jnp.int32)
+            keys_flat = (ebits >> idx_bits << idx_bits) | pos_idx.astype(
+                jnp.uint32
+            )
+            keys_flat = jnp.where(
+                valid_flat != 0, keys_flat, jnp.uint32(0xFFFFFFFF)
+            )
             t_sel = jnp.zeros((tb, 1), jnp.uint32)
             for b in reversed(range(32)):
                 cand = t_sel | jnp.uint32(1 << b)
-                cnt = jnp.zeros((tb, 1), jnp.int32)
-                for blk in range(nbr):
-                    cnt = cnt + jnp.sum(
-                        (ekeys[:, blk, :] < cand).astype(jnp.int32),
-                        axis=1, keepdims=True,
-                    )
+                cnt = jnp.sum(
+                    (keys_flat < cand).astype(jnp.int32),
+                    axis=1, keepdims=True,
+                )
                 t_sel = jnp.where(cnt < num_errors, cand, t_sel)
-
-        def alice_plane(blk):
-            if mode == "mc":
-                return alice[:, blk, :]
-            return alice_ref[:, blk, :]
-
-        if mode in ("trial", "mc"):
+            flip_flat = jnp.where(
+                num_errors > 0, (keys_flat <= t_sel).astype(jnp.int32), 0
+            )
+            bob_flat = alice_flat ^ flip_flat
+            llr_flat = jnp.where(bob_flat == 1, -log_p, log_p).astype(dtype)
             for blk in range(nbr):
-                if mode == "mc":
-                    flip = jnp.where(
-                        ne_ref[0, 0] > 0,
-                        (ekeys[:, blk, :] <= t_sel).astype(jnp.int32),
-                        0,
-                    )
-                    bobp = alice[:, blk, :] ^ flip
-                else:
-                    bobp = bob_ref[:, blk, :]
-                llrs[:, blk, :] = jnp.where(bobp == 1, -log_p, log_p).astype(dtype)
+                alice[:, blk, :] = alice_flat[
+                    :, blk * LANES:(blk + 1) * LANES
+                ]
+                llrs[:, blk, :] = llr_flat[:, blk * LANES:(blk + 1) * LANES]
+        elif mode == "trial":
+            bob_all = bob_ref[:, :, :]
+            llrs[:, :, :] = jnp.where(bob_all == 1, -log_p, log_p).astype(dtype)
 
-        def llr_row(blk):
+        def alice_slab(noff, blocks):
+            if mode == "mc":
+                return alice[:, noff:noff + blocks, :]
+            return alice_ref[:, noff:noff + blocks, :]
+
+        def llr_slab(noff, blocks):
             if mode in ("decode", "frame"):
-                return llr_ref[:, blk, :]
-            return llrs[:, blk, :]
+                return llr_ref[:, noff:noff + blocks, :]
+            return llrs[:, noff:noff + blocks, :]
+
+        def stage_bit_edges(dst, value_of_slab, pad_value):
+            """Replicate per-bit slabs onto the bit-major edge space: one
+            slab copy per (group, slot) plus one for the pad rows."""
+            for d, count, blocks, noff, eoff in plan.bits.groups:
+                v = value_of_slab(noff, blocks)
+                for s in range(d):
+                    dst[:, eoff + s * blocks : eoff + (s + 1) * blocks, :] = v
+            dst[:, bit_edge_rows:r, :] = jnp.full(
+                (tb, r - bit_edge_rows, LANES), pad_value, dtype
+            )
 
         # Alice syndrome (trial/mc/frame): replicate alice bit planes onto
         # the bit-major edge space (f32-encoded 0/1), regroup to check-major,
         # XOR-reduce per check group slot slab.
         if mode in ("trial", "mc", "frame"):
-            for er in range(bit_edge_rows):
-                pong[:, er, :] = alice_plane(rep_src[er]).astype(dtype)
-            for er in range(bit_edge_rows, r):
-                pong[:, er, :] = jnp.zeros((tb, LANES), dtype)
+            stage_bit_edges(
+                pong, lambda o, blk: alice_slab(o, blk).astype(dtype), 0.0
+            )
             permute(cm_tabs, pong, ping, msg)
             for d, count, blocks, noff, eoff in plan.checks.groups:
                 acc = None
@@ -435,28 +455,29 @@ def _build(
         # onto the bit-major edge space (decision packed into the LSB),
         # regroup to check-major (reference init:
         # src/qkd_ldpc_algorithm.cpp:21-29).
-        for blk in range(nbr):
-            d0 = (llr_row(blk) <= 0).astype(jnp.int32)
-            dec[:, blk, :] = d0
-            frz[:, blk, :] = d0
-        for er in range(bit_edge_rows):
-            v = llr_row(rep_src[er])
+        d0_all = (llr_slab(0, nbr) <= 0).astype(jnp.int32)
+        dec[:, :, :] = d0_all
+        frz[:, :, :] = d0_all
+
+        def llr_packed_slab(noff, blocks):
+            v = llr_slab(noff, blocks)
             if pack:
                 vi = jax.lax.bitcast_convert_type(v, jnp.int32)
-                vi = (vi & ~1) | dec[:, rep_src[er], :]
+                vi = (vi & ~1) | dec[:, noff:noff + blocks, :]
                 v = jax.lax.bitcast_convert_type(vi, dtype)
-            pong[:, er, :] = v
-        for er in range(bit_edge_rows, r):
-            pong[:, er, :] = jnp.full((tb, LANES), 1.0, dtype)
+            return v
+
+        stage_bit_edges(pong, llr_packed_slab, 1.0)
         permute(cm_tabs, pong, msg, ping)
         if spa:
             # SPA transports decisions in their own permuted plane, staged
             # bit-major in dstage and living check-major in `ping` (which is
             # dead at every point the transported decisions are read).
-            for er in range(bit_edge_rows):
-                dstage[:, er, :] = dec[:, rep_src[er], :].astype(dtype)
-            for er in range(bit_edge_rows, r):
-                dstage[:, er, :] = jnp.zeros((tb, LANES), dtype)
+            stage_bit_edges(
+                dstage,
+                lambda o, blk: dec[:, o:o + blk, :].astype(dtype),
+                0.0,
+            )
             permute(cm_tabs, dstage, ping, pong)
 
         def dec_edge_slab(row_start, blocks):
@@ -564,13 +585,15 @@ def _build(
                         vi = (vi & ~1) | dg
                         v = jax.lax.bitcast_convert_type(vi, dtype)
                     pong[:, eoff + t * blocks : eoff + (t + 1) * blocks, :] = v
-            for er in range(bit_edge_rows, r):
-                pong[:, er, :] = jnp.full((tb, LANES), 1.0, dtype)
+            pong[:, bit_edge_rows:r, :] = jnp.full(
+                (tb, r - bit_edge_rows, LANES), 1.0, dtype
+            )
             if spa:
-                for er in range(bit_edge_rows):
-                    dstage[:, er, :] = dec[:, rep_src[er], :].astype(dtype)
-                for er in range(bit_edge_rows, r):
-                    dstage[:, er, :] = jnp.zeros((tb, LANES), dtype)
+                stage_bit_edges(
+                    dstage,
+                    lambda o, blk: dec[:, o:o + blk, :].astype(dtype),
+                    0.0,
+                )
 
         def llr_slab(noff, blocks):
             if mode in ("decode", "frame"):
@@ -589,9 +612,8 @@ def _build(
                 permute(cm_tabs, dstage, ping, pong)
 
         def freeze(newly):
-            sel = newly != 0  # [TB, 1]
-            for blk in range(nbr):
-                frz[:, blk, :] = jnp.where(sel, dec[:, blk, :], frz[:, blk, :])
+            sel = (newly != 0)[:, :, None]  # [TB, 1, 1] broadcast
+            frz[:, :, :] = jnp.where(sel, dec[:, :, :], frz[:, :, :])
 
         if not adaptive:
 
@@ -637,21 +659,16 @@ def _build(
             cond, body, (jnp.int32(0), converged0, iters0)
         )
 
-        csel = converged != 0  # [TB, 1]
+        csel = (converged != 0)[:, :, None]  # [TB, 1, 1] broadcast
         if mode == "decode":
-            for blk in range(nbr):
-                dec_out[:, blk, :] = jnp.where(
-                    csel, frz[:, blk, :], dec[:, blk, :]
-                )
+            dec_out[:, :, :] = jnp.where(csel, frz[:, :, :], dec[:, :, :])
             conv_out[:, :] = converged.astype(jnp.int8)
             iter_out[:, :] = iters
         else:
-            km = jnp.zeros((tb, 1), jnp.int32)
-            for blk in range(nbr):
-                final = jnp.where(csel, frz[:, blk, :], dec[:, blk, :])
-                diff = (final != alice_plane(blk)).astype(jnp.int32)
-                diff = diff * bit_valid_ref[blk, :][None]
-                km = km + jnp.sum(diff, axis=1, keepdims=True)
+            final = jnp.where(csel, frz[:, :, :], dec[:, :, :])
+            diff = (final != alice_slab(0, nbr)).astype(jnp.int32)
+            diff = diff * bit_valid_ref[:, :][None]
+            km = jnp.sum(jnp.sum(diff, axis=2, keepdims=True), axis=1)
             conv_out[:, :] = converged.astype(jnp.int8)
             keys_out[:, :] = (km == 0).astype(jnp.int8)
             iter_out[:, :] = iters
@@ -669,7 +686,6 @@ def _build(
         scratch_shapes.append(pltpu.VMEM((tb, mr, LANES), jnp.int32))  # asyn
     if mode == "mc":
         scratch_shapes.append(pltpu.VMEM((tb, nbr, LANES), jnp.int32))  # alice
-        scratch_shapes.append(pltpu.VMEM((tb, nbr, LANES), jnp.uint32))  # ekeys
     scratch_shapes.append(
         edge_f32 if spa else pltpu.VMEM((8, LANES), dtype)
     )  # dstage
