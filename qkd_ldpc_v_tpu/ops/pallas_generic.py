@@ -670,7 +670,10 @@ def _build(
             diff = diff * bit_valid_ref[:, :][None]
             km = jnp.sum(jnp.sum(diff, axis=2, keepdims=True), axis=1)
             conv_out[:, :] = converged.astype(jnp.int8)
-            keys_out[:, :] = (km == 0).astype(jnp.int8)
+            # 1 - min(km, 1) == (km == 0); the comparison form trips a
+            # Mosaic relayout bug on the reduced [TB, 1] vector's layout
+            # ("Non-singleton logical dimension is replicated...").
+            keys_out[:, :] = (1 - jnp.minimum(km, 1)).astype(jnp.int8)
             iter_out[:, :] = iters
 
     # --- pallas_call plumbing ---------------------------------------------
