@@ -250,6 +250,7 @@ def _build(
     batch_tile: int,
     interpret: bool,
     mode: str,  # "decode" | "trial" | "mc" | "frame"
+    transport: str = "bf16x2",  # "bf16x2" | "f32"
 ):
     plan = plan_for(matrix)
     dtype = jnp.dtype(jnp.float32)
@@ -262,6 +263,19 @@ def _build(
     adaptive = algorithm.is_adaptive
     spa = algorithm in (DecodingAlgorithm.SPA, DecodingAlgorithm.SPA_APPROX)
     pack = not spa  # min-sum family: decisions ride the message LSB
+    # bf16x2 transport (min-sum family only): each f32 word of the edge-space
+    # buffers carries TWO frames' messages as bf16 halves (frame t in the
+    # high 16 bits — bf16 is exactly f32's top half — and frame t + tb/2 in
+    # the low 16). Every permute stage (84% of the iteration body) then
+    # moves two frames per op. SPA keeps f32 transport: its tanh products
+    # need the mantissa.
+    packed = transport == "bf16x2" and not spa
+    if transport not in ("bf16x2", "f32"):
+        raise ValueError(f"unknown transport {transport!r}")
+    if packed and tb % 2:
+        raise ValueError("bf16x2 transport needs an even batch_tile")
+    tp = tb // 2 if packed else tb  # leading dim of edge-space buffers
+    halves = 2 if packed else 1
     if algorithm == DecodingAlgorithm.SPA:
         tanh_fn = jnp.tanh
         atanh_fn = lambda x: 0.5 * jnp.log((1.0 + x) / (1.0 - x))  # noqa: E731
@@ -270,6 +284,57 @@ def _build(
 
     idx_bits = max(1, (nbr * LANES - 1).bit_length())
     bit_edge_rows = plan.bits.edge_rows
+
+    MASK_HI = -65536  # 0xFFFF0000: high bf16 half (python int: folds inline)
+    MASK_HI_NOLSB = -131072  # 0xFFFE0000
+
+    def _i32(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+    def _f32(x):
+        return jax.lax.bitcast_convert_type(x, dtype)
+
+    def unpack(w, h):
+        """bf16 half h of packed word w, as exact f32. h=0: frames [0,tp);
+        h=1: frames [tp, tb). Identity when unpacked."""
+        if not packed:
+            return w
+        wi = _i32(w)
+        return _f32((wi & MASK_HI) if h == 0 else (wi << 16))
+
+    def pack2(a, b):
+        """Two f32 slabs -> packed word (mantissa-truncating bf16 round;
+        truncation only ever shrinks magnitudes)."""
+        if not packed:
+            return a
+        return _f32((_i32(a) & MASK_HI) | ((_i32(b) >> 16) & 0xFFFF))
+
+    def pack2_dec(a, b, da, db):
+        """pack2 with the decision bit written into each bf16 half's LSB."""
+        if not packed:
+            vi = (_i32(a) & ~1) | da
+            return _f32(vi)
+        w = (_i32(a) & MASK_HI_NOLSB) | (da << 16)
+        w = w | ((_i32(b) >> 16) & 0xFFFE) | db
+        return _f32(w)
+
+    def packed_from_frames(v):
+        """[tb, rows, 128] per-frame f32 -> [tp, rows, 128] transport word."""
+        if not packed:
+            return v
+        return pack2(v[:tp], v[tp:])
+
+    def full_word(rows_count, value: float):
+        """Transport-layout constant slab holding `value` in every frame."""
+        if not packed:
+            return jnp.full((tp, rows_count, LANES), value, dtype)
+        hi = int(np.float32(value).view(np.int32)) & 0xFFFF0000
+        w = np.int32(np.uint32(hi | (hi >> 16)))
+        return _f32(jnp.full((tp, rows_count, LANES), w, jnp.int32))
+
+    def hrows(h):
+        """Frame-row slice of half h in the per-frame [tb, ...] arrays."""
+        return slice(h * tp, (h + 1) * tp)
 
     def clamp(x, threshold):
         if use_threshold:
@@ -316,13 +381,13 @@ def _build(
                         :, t2 * LANES:(t2 + 1) * LANES, :
                     ]
                 return
-            for t in range(tb):  # L1 lane gather  src -> out
+            for t in range(tp):  # L1 lane gather  src -> out
                 out[t] = jnp.take_along_axis(src[t], idx_l1[:], axis=1)
             for t2 in range(tn):  # tile transpose  out -> scratch
                 scratch[:, t2 * LANES:(t2 + 1) * LANES, :] = jnp.swapaxes(
                     out[:, t2 * LANES:(t2 + 1) * LANES, :], 1, 2
                 )
-            for t in range(tb):  # C gather (transposed)  scratch -> out
+            for t in range(tp):  # C gather (transposed)  scratch -> out
                 out[t] = jnp.take_along_axis(scratch[t], idx_c[:], axis=1)
             for t2 in range(tn):  # B tile select  out -> scratch
                 sel = bsel[t2]
@@ -334,13 +399,13 @@ def _build(
                         acc,
                     )
                 scratch[:, t2 * LANES:(t2 + 1) * LANES, :] = acc
-            for t in range(tb):  # A gather (transposed)  scratch -> out
+            for t in range(tp):  # A gather (transposed)  scratch -> out
                 out[t] = jnp.take_along_axis(scratch[t], idx_a[:], axis=1)
             for t2 in range(tn):  # tile transpose back  out -> scratch
                 scratch[:, t2 * LANES:(t2 + 1) * LANES, :] = jnp.swapaxes(
                     out[:, t2 * LANES:(t2 + 1) * LANES, :], 1, 2
                 )
-            for t in range(tb):  # L2 lane gather  scratch -> out
+            for t in range(tp):  # L2 lane gather  scratch -> out
                 out[t] = jnp.take_along_axis(scratch[t], idx_l2[:], axis=1)
 
         # --- prologue -----------------------------------------------------
@@ -420,14 +485,14 @@ def _build(
 
         def stage_bit_edges(dst, value_of_slab, pad_value):
             """Replicate per-bit slabs onto the bit-major edge space: one
-            slab copy per (group, slot) plus one for the pad rows."""
+            slab copy per (group, slot) plus one for the pad rows.
+            ``value_of_slab`` returns per-frame [tb, blocks, 128] f32; the
+            staged copy is in transport layout."""
             for d, count, blocks, noff, eoff in plan.bits.groups:
-                v = value_of_slab(noff, blocks)
+                v = packed_from_frames(value_of_slab(noff, blocks))
                 for s in range(d):
                     dst[:, eoff + s * blocks : eoff + (s + 1) * blocks, :] = v
-            dst[:, bit_edge_rows:r, :] = jnp.full(
-                (tb, r - bit_edge_rows, LANES), pad_value, dtype
-            )
+            dst[:, bit_edge_rows:r, :] = full_word(r - bit_edge_rows, pad_value)
 
         # Alice syndrome (trial/mc/frame): replicate alice bit planes onto
         # the bit-major edge space (f32-encoded 0/1), regroup to check-major,
@@ -438,12 +503,16 @@ def _build(
             )
             permute(cm_tabs, pong, ping, msg)
             for d, count, blocks, noff, eoff in plan.checks.groups:
-                acc = None
-                for s in range(d):
-                    slab = ping[:, eoff + s * blocks : eoff + (s + 1) * blocks, :]
-                    bi = (slab > 0.5).astype(jnp.int32)
-                    acc = bi if acc is None else acc ^ bi
-                asyn[:, noff:noff + blocks, :] = acc
+                for h in range(halves):
+                    acc = None
+                    for s in range(d):
+                        slab = unpack(
+                            ping[:, eoff + s * blocks : eoff + (s + 1) * blocks, :],
+                            h,
+                        )
+                        bi = (slab > 0.5).astype(jnp.int32)
+                        acc = bi if acc is None else acc ^ bi
+                    asyn[hrows(h), noff:noff + blocks, :] = acc
 
         def syn_slab(noff, blocks):
             """[TB, blocks, 128] int32 Alice-syndrome slab."""
@@ -459,15 +528,25 @@ def _build(
         dec[:, :, :] = d0_all
         frz[:, :, :] = d0_all
 
-        def llr_packed_slab(noff, blocks):
-            v = llr_slab(noff, blocks)
-            if pack:
-                vi = jax.lax.bitcast_convert_type(v, jnp.int32)
-                vi = (vi & ~1) | dec[:, noff:noff + blocks, :]
-                v = jax.lax.bitcast_convert_type(vi, dtype)
-            return v
+        def stage_msg_init(dst):
+            """Initial bit->check messages: channel LLRs with the decision
+            bit in each transported value's LSB (min-sum family), staged on
+            the bit-major edge space in transport layout."""
+            for d, count, blocks, noff, eoff in plan.bits.groups:
+                v = llr_slab(noff, blocks)
+                if pack:
+                    dg = dec[:, noff:noff + blocks, :]
+                    if packed:
+                        w = pack2_dec(v[:tp], v[tp:], dg[:tp], dg[tp:])
+                    else:
+                        w = pack2_dec(v, None, dg, None)
+                else:
+                    w = packed_from_frames(v)
+                for s in range(d):
+                    dst[:, eoff + s * blocks : eoff + (s + 1) * blocks, :] = w
+            dst[:, bit_edge_rows:r, :] = full_word(r - bit_edge_rows, 1.0)
 
-        stage_bit_edges(pong, llr_packed_slab, 1.0)
+        stage_msg_init(pong)
         permute(cm_tabs, pong, msg, ping)
         if spa:
             # SPA transports decisions in their own permuted plane, staged
@@ -480,49 +559,55 @@ def _build(
             )
             permute(cm_tabs, dstage, ping, pong)
 
-        def dec_edge_slab(row_start, blocks):
-            """[TB, blocks, 128] int32 decisions on check-major edge rows."""
+        def dec_edge_slab(row_start, blocks, h):
+            """[tp, blocks, 128] int32 half-h decisions on check-major edge
+            rows (LSB of the transported bf16/f32 message, or the SPA
+            decision plane)."""
             if pack:
                 vi = jax.lax.bitcast_convert_type(
                     msg[:, row_start:row_start + blocks, :], jnp.int32
                 )
+                if packed and h == 0:
+                    return (vi >> 16) & 1
                 return vi & 1
             return (
                 ping[:, row_start:row_start + blocks, :] > 0.5
             ).astype(jnp.int32)
 
         def dsyn_mismatch():
-            """([TB, 1] int32 total mismatch count, per-group planes)."""
-            total = jnp.zeros((tb, 1), jnp.int32)
-            mism = []
+            """(per-half [tp, 1] mismatch totals, per-half per-group
+            mismatch planes)."""
+            totals = [jnp.zeros((tp, 1), jnp.int32) for _ in range(halves)]
+            mism = [[] for _ in range(halves)]
             for d, count, blocks, noff, eoff in plan.checks.groups:
-                acc = None
-                for s in range(d):
-                    bi = dec_edge_slab(eoff + s * blocks, blocks)
-                    acc = bi if acc is None else acc ^ bi
-                mm = (acc ^ syn_slab(noff, blocks)) * (
-                    check_valid_ref[noff:noff + blocks, :][None]
-                )
-                mism.append(mm)
-                total = total + jnp.sum(
-                    jnp.sum(mm, axis=2, keepdims=True), axis=1
-                )
-            return total, mism
+                for h in range(halves):
+                    acc = None
+                    for s in range(d):
+                        bi = dec_edge_slab(eoff + s * blocks, blocks, h)
+                        acc = bi if acc is None else acc ^ bi
+                    mm = (acc ^ syn_slab(noff, blocks)[hrows(h)]) * (
+                        check_valid_ref[noff:noff + blocks, :][None]
+                    )
+                    mism[h].append(mm)
+                    totals[h] = totals[h] + jnp.sum(
+                        jnp.sum(mm, axis=2, keepdims=True), axis=1
+                    )
+            return totals, mism
 
         def check_pass(mism):
-            """mism: None (non-adaptive) or per-group mismatch planes."""
+            """mism: None (non-adaptive) or per-half per-group mismatch
+            planes."""
             for gi, (d, count, blocks, noff, eoff) in enumerate(
                 plan.checks.groups
             ):
-                msgs = [
+                words = [
                     msg[:, eoff + s * blocks : eoff + (s + 1) * blocks, :]
                     for s in range(d)
                 ]
-                ss = jnp.where(
-                    syn_slab(noff, blocks) == 1, -1.0, 1.0
-                ).astype(dtype)
+                syn_full = syn_slab(noff, blocks)
                 if spa:
-                    ts = [tanh_fn(m * 0.5) for m in msgs]
+                    ss = jnp.where(syn_full == 1, -1.0, 1.0).astype(dtype)
+                    ts = [tanh_fn(m * 0.5) for m in words]
                     prod = ss
                     for t in ts:
                         prod = prod * t
@@ -533,7 +618,13 @@ def _build(
                                 threshold,
                             )
                         )
-                else:
+                    continue
+                outs = []  # per half: d new-message slabs
+                for h in range(halves):
+                    msgs = [unpack(w, h) for w in words]
+                    ss = jnp.where(
+                        syn_full[hrows(h)] == 1, -1.0, 1.0
+                    ).astype(dtype)
                     # Pairwise two-minimum chain: exact multiset semantics
                     # (ties at the minimum emit min2 == min1, reference
                     # :381-397).
@@ -550,8 +641,9 @@ def _build(
                         neg % 2 == 0, 1.0, -1.0
                     ).astype(dtype)
                     f = primary if mism is None else jnp.where(
-                        mism[gi] != 0, secondary, primary
+                        mism[h][gi] != 0, secondary, primary
                     ).astype(dtype)
+                    news = []
                     for s in range(d):
                         m, ai = msgs[s], a[s]
                         excl = jnp.where(m > 0, 1.0, -1.0).astype(dtype)
@@ -562,43 +654,51 @@ def _build(
                             val = f * row_sign * excl * eabs
                         else:  # OMSA / AOMSA: offset, clamp at zero
                             val = row_sign * excl * jnp.maximum(eabs - f, 0.0)
-                        msg[:, eoff + s * blocks : eoff + (s + 1) * blocks, :] = (
-                            clamp(val.astype(dtype), threshold)
-                        )
+                        news.append(clamp(val.astype(dtype), threshold))
+                    outs.append(news)
+                for s in range(d):
+                    w = (
+                        pack2(outs[0][s], outs[1][s]) if packed else outs[0][s]
+                    )
+                    msg[:, eoff + s * blocks : eoff + (s + 1) * blocks, :] = w
 
         def bit_pass():
             # extrinsics arrive bit-major in `ping` after the regroup
             for d, count, blocks, noff, eoff in plan.bits.groups:
-                es = [
+                words = [
                     ping[:, eoff + t * blocks : eoff + (t + 1) * blocks, :]
                     for t in range(d)
                 ]
-                total = llr_slab(noff, blocks)
-                for e in es:
-                    total = total + e
-                dg = (total <= 0).astype(jnp.int32)
-                dec[:, noff:noff + blocks, :] = dg
-                for t, e in enumerate(es):
-                    v = clamp(total - e, threshold)
-                    if pack:
-                        vi = jax.lax.bitcast_convert_type(v, jnp.int32)
-                        vi = (vi & ~1) | dg
-                        v = jax.lax.bitcast_convert_type(vi, dtype)
-                    pong[:, eoff + t * blocks : eoff + (t + 1) * blocks, :] = v
-            pong[:, bit_edge_rows:r, :] = jnp.full(
-                (tb, r - bit_edge_rows, LANES), 1.0, dtype
-            )
+                llr_full = llr_slab(noff, blocks)
+                vals = []  # per half: (d new-message slabs, decision slab)
+                for h in range(halves):
+                    es = [unpack(w, h) for w in words]
+                    total = llr_full[hrows(h)]
+                    for e in es:
+                        total = total + e
+                    dg = (total <= 0).astype(jnp.int32)
+                    dec[hrows(h), noff:noff + blocks, :] = dg
+                    vals.append(
+                        ([clamp(total - e, threshold) for e in es], dg)
+                    )
+                for t in range(d):
+                    if packed:
+                        w = pack2_dec(
+                            vals[0][0][t], vals[1][0][t],
+                            vals[0][1], vals[1][1],
+                        )
+                    elif pack:
+                        w = pack2_dec(vals[0][0][t], None, vals[0][1], None)
+                    else:
+                        w = vals[0][0][t]
+                    pong[:, eoff + t * blocks : eoff + (t + 1) * blocks, :] = w
+            pong[:, bit_edge_rows:r, :] = full_word(r - bit_edge_rows, 1.0)
             if spa:
                 stage_bit_edges(
                     dstage,
                     lambda o, blk: dec[:, o:o + blk, :].astype(dtype),
                     0.0,
                 )
-
-        def llr_slab(noff, blocks):
-            if mode in ("decode", "frame"):
-                return llr_ref[:, noff:noff + blocks, :]
-            return llrs[:, noff:noff + blocks, :]
 
         def regroup_to_bm():
             # check-major extrinsics (msg, read-only) -> bit-major in ping
@@ -611,9 +711,10 @@ def _build(
                 # decisions follow: bit-major dstage -> check-major ping
                 permute(cm_tabs, dstage, ping, pong)
 
-        def freeze(newly):
-            sel = (newly != 0)[:, :, None]  # [TB, 1, 1] broadcast
-            frz[:, :, :] = jnp.where(sel, dec[:, :, :], frz[:, :, :])
+        def freeze(h, newly):
+            sel = (newly != 0)[:, :, None]  # [tp, 1, 1] broadcast
+            rs = hrows(h)
+            frz[rs, :, :] = jnp.where(sel, dec[rs, :, :], frz[rs, :, :])
 
         if not adaptive:
 
@@ -623,12 +724,16 @@ def _build(
                 regroup_to_bm()
                 bit_pass()
                 regroup_to_cm()
-                total, _ = dsyn_mismatch()
-                ok = (total == 0).astype(jnp.int32)
-                newly = ok * (1 - converged)
-                iters = jnp.where(newly != 0, it + 1, iters)
-                freeze(newly)
-                return it + 1, jnp.maximum(converged, ok), iters
+                totals, _ = dsyn_mismatch()
+                converged = list(converged)
+                iters = list(iters)
+                for h in range(halves):
+                    ok = (totals[h] == 0).astype(jnp.int32)
+                    newly = ok * (1 - converged[h])
+                    iters[h] = jnp.where(newly != 0, it + 1, iters[h])
+                    freeze(h, newly)
+                    converged[h] = jnp.maximum(converged[h], ok)
+                return it + 1, tuple(converged), tuple(iters)
 
         else:
 
@@ -637,47 +742,64 @@ def _build(
                 # Convergence from the *previous* decision, detected inside
                 # the check pass; the same mismatch drives the factor
                 # (reference: :745-776).
-                total, mism = dsyn_mismatch()
-                ok = (total == 0).astype(jnp.int32)
-                newly = ok * (1 - converged)
-                iters = jnp.where(newly != 0, it + 1, iters)
-                freeze(newly)
-                converged = jnp.maximum(converged, ok)
+                totals, mism = dsyn_mismatch()
+                converged = list(converged)
+                iters = list(iters)
+                for h in range(halves):
+                    ok = (totals[h] == 0).astype(jnp.int32)
+                    newly = ok * (1 - converged[h])
+                    iters[h] = jnp.where(newly != 0, it + 1, iters[h])
+                    freeze(h, newly)
+                    converged[h] = jnp.maximum(converged[h], ok)
                 check_pass(mism)
                 regroup_to_bm()
                 bit_pass()
                 regroup_to_cm()
-                return it + 1, converged, iters
+                return it + 1, tuple(converged), tuple(iters)
 
         def cond(carry):
             it, converged, iters = carry
-            return (it < max_iterations) & ~jnp.all(converged != 0)
+            done = jnp.all(converged[0] != 0)
+            for c in converged[1:]:
+                done = done & jnp.all(c != 0)
+            return (it < max_iterations) & ~done
 
-        converged0 = jnp.zeros((tb, 1), jnp.int32)
-        iters0 = jnp.full((tb, 1), max_iterations, jnp.int32)
+        converged0 = tuple(
+            jnp.zeros((tp, 1), jnp.int32) for _ in range(halves)
+        )
+        iters0 = tuple(
+            jnp.full((tp, 1), max_iterations, jnp.int32)
+            for _ in range(halves)
+        )
         it, converged, iters = jax.lax.while_loop(
             cond, body, (jnp.int32(0), converged0, iters0)
         )
 
-        csel = (converged != 0)[:, :, None]  # [TB, 1, 1] broadcast
-        if mode == "decode":
-            dec_out[:, :, :] = jnp.where(csel, frz[:, :, :], dec[:, :, :])
-            conv_out[:, :] = converged.astype(jnp.int8)
-            iter_out[:, :] = iters
-        else:
-            final = jnp.where(csel, frz[:, :, :], dec[:, :, :])
-            diff = (final != alice_slab(0, nbr)).astype(jnp.int32)
-            diff = diff * bit_valid_ref[:, :][None]
-            km = jnp.sum(jnp.sum(diff, axis=2, keepdims=True), axis=1)
-            conv_out[:, :] = converged.astype(jnp.int8)
-            # 1 - min(km, 1) == (km == 0); the comparison form trips a
-            # Mosaic relayout bug on the reduced [TB, 1] vector's layout
-            # ("Non-singleton logical dimension is replicated...").
-            keys_out[:, :] = (1 - jnp.minimum(km, 1)).astype(jnp.int8)
-            iter_out[:, :] = iters
+        for h in range(halves):
+            rs = hrows(h)
+            csel = (converged[h] != 0)[:, :, None]  # [tp, 1, 1] broadcast
+            if mode == "decode":
+                dec_out[rs, :, :] = jnp.where(
+                    csel, frz[rs, :, :], dec[rs, :, :]
+                )
+                conv_out[rs, :] = converged[h].astype(jnp.int8)
+                iter_out[rs, :] = iters[h]
+            else:
+                final = jnp.where(csel, frz[rs, :, :], dec[rs, :, :])
+                diff = (final != alice_slab(0, nbr)[hrows(h)]).astype(
+                    jnp.int32
+                )
+                diff = diff * bit_valid_ref[:, :][None]
+                km = jnp.sum(jnp.sum(diff, axis=2, keepdims=True), axis=1)
+                conv_out[rs, :] = converged[h].astype(jnp.int8)
+                # 1 - min(km, 1) == (km == 0); the comparison form trips a
+                # Mosaic relayout bug on the reduced [tp, 1] vector's layout
+                # ("Non-singleton logical dimension is replicated...").
+                keys_out[rs, :] = (1 - jnp.minimum(km, 1)).astype(jnp.int8)
+                iter_out[rs, :] = iters[h]
 
     # --- pallas_call plumbing ---------------------------------------------
-    edge_f32 = pltpu.VMEM((tb, r, LANES), dtype)
+    edge_f32 = pltpu.VMEM((tp, r, LANES), dtype)
     scratch_shapes = [
         edge_f32,  # msg
         edge_f32,  # ping
@@ -805,14 +927,18 @@ def make_pallas_generic_decoder(
     dtype=jnp.float32,
     batch_tile: int = 8,
     interpret: bool = False,
+    transport: str = "bf16x2",
 ) -> Callable[..., DecodeResult]:
     """Fused decode kernel for arbitrary sparse H. Same call signature as
-    ops/decoders.make_decoder; float32 only."""
+    ops/decoders.make_decoder; float32 only. ``transport`` selects the
+    in-VMEM message transport: "bf16x2" (default; two frames per f32 word
+    through the regroup pipeline — fastest, bf16-rounded messages) or
+    "f32" (full-precision transport). SPA always uses f32 transport."""
     if jnp.dtype(dtype) != jnp.float32:
         raise ValueError("pallas generic decoder is float32-only")
     call, plan, fdtype, tb = _build(
         matrix, algorithm, max_iterations, use_threshold, batch_tile,
-        interpret, mode="decode",
+        interpret, mode="decode", transport=transport,
     )
 
     def decode(llr_ext, syndrome_ext, primary=1.0, secondary=1.0,
@@ -847,11 +973,12 @@ def make_pallas_generic_trial(
     use_threshold: bool,
     batch_tile: int = 8,
     interpret: bool = False,
+    transport: str = "bf16x2",
 ) -> Callable:
     """Fused Monte-Carlo trial kernel: raw keys in, per-frame stats out."""
     call, plan, fdtype, tb = _build(
         matrix, algorithm, max_iterations, use_threshold, batch_tile,
-        interpret, mode="trial",
+        interpret, mode="trial", transport=transport,
     )
 
     def trial(alice, bob, qber, primary=1.0, secondary=1.0, threshold=0.0):
@@ -883,13 +1010,14 @@ def make_pallas_generic_frame_trial(
     use_threshold: bool,
     batch_tile: int = 8,
     interpret: bool = False,
+    transport: str = "bf16x2",
 ) -> Callable:
     """Fused trial kernel for prebuilt (rate-adapted) frames: the caller
     supplies the extended Alice frame and its LLRs; the kernel owns Alice's
     syndrome, the decode, and the key comparison."""
     call, plan, fdtype, tb = _build(
         matrix, algorithm, max_iterations, use_threshold, batch_tile,
-        interpret, mode="frame",
+        interpret, mode="frame", transport=transport,
     )
 
     def trial(alice_frame, llr, primary=1.0, secondary=1.0, threshold=0.0):
@@ -923,13 +1051,14 @@ def make_pallas_generic_montecarlo(
     batch: int,
     batch_tile: int = 8,
     interpret: bool = False,
+    transport: str = "bf16x2",
 ) -> Callable:
     """Fully in-kernel Monte-Carlo trials for arbitrary H: hardware-PRNG
     keys, exact-count error subset, decode, stats — HBM traffic is three
     [B]-sized vectors per batch. TPU-only (the PRNG has no CPU interpret)."""
     call, plan, fdtype, tb = _build(
         matrix, algorithm, max_iterations, use_threshold, batch_tile,
-        interpret, mode="mc",
+        interpret, mode="mc", transport=transport,
     )
     pad = (-batch) % tb
     padded = batch + pad

@@ -104,7 +104,7 @@ def test_matches_xla_decoder(medium_matrix, algorithm, primary, secondary,
     fused = jax.jit(
         make_pallas_generic_decoder(
             medium_matrix, algorithm, 30, use_threshold,
-            batch_tile=8, interpret=True,
+            batch_tile=8, interpret=True, transport="f32",
         )
     )
     rg = generic(llr, syn, primary, secondary, thr)
@@ -149,7 +149,7 @@ def test_irregular_code_matches():
     fused = jax.jit(
         make_pallas_generic_decoder(
             matrix, DecodingAlgorithm.NMSA, 40, False,
-            batch_tile=8, interpret=True,
+            batch_tile=8, interpret=True, transport="f32",
         )
     )
     rg = generic(llr, syn, 0.8, 1.0, 0.0)
@@ -180,7 +180,7 @@ def test_multi_tile_code_matches():
     fused = jax.jit(
         make_pallas_generic_decoder(
             matrix, DecodingAlgorithm.NMSA, 12, False,
-            batch_tile=8, interpret=True,
+            batch_tile=8, interpret=True, transport="f32",
         )
     )
     rg = generic(llr, syn, 0.8, 1.0, 0.0)
@@ -200,13 +200,13 @@ def test_trial_kernel_matches_decode(medium_matrix):
     fused = jax.jit(
         make_pallas_generic_decoder(
             medium_matrix, DecodingAlgorithm.NMSA, 30, False,
-            batch_tile=8, interpret=True,
+            batch_tile=8, interpret=True, transport="f32",
         )
     )
     trial = jax.jit(
         make_pallas_generic_trial(
             medium_matrix, DecodingAlgorithm.NMSA, 30, False,
-            batch_tile=8, interpret=True,
+            batch_tile=8, interpret=True, transport="f32",
         )
     )
     rd = fused(llr, syn, 0.8, 1.0, 0.0)
@@ -255,3 +255,135 @@ def test_feasibility_gate():
     tiny = generate_regular_ldpc(num_bits=96, num_checks=48, column_weight=3,
                                  seed=7)
     assert generic_plan_feasible(tiny)
+
+
+# ---------------------------------------------------------------------------
+# bf16x2 transport (the production default for the min-sum family)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("algorithm,primary,secondary", [
+    (DecodingAlgorithm.NMSA, 0.8, 1.0),
+    (DecodingAlgorithm.OMSA, 0.3, 1.0),
+    (DecodingAlgorithm.AOMSA, 0.3, 0.6),
+])
+def test_bf16x2_transport_decodes(medium_matrix, algorithm, primary,
+                                  secondary):
+    """Packed transport (two frames per f32 word through the regroup) must
+    decode correctly: on this easy operating point every frame converges to
+    Alice's key, and iteration counts stay within a small window of the
+    f32-transport path (messages are bf16-rounded in flight)."""
+    alice, bob, llr, syn = channel_case(medium_matrix, 8, 0.02, 23)
+    exact = jax.jit(
+        make_pallas_generic_decoder(
+            medium_matrix, algorithm, 30, False,
+            batch_tile=8, interpret=True, transport="f32",
+        )
+    )
+    fast = jax.jit(
+        make_pallas_generic_decoder(
+            medium_matrix, algorithm, 30, False,
+            batch_tile=8, interpret=True, transport="bf16x2",
+        )
+    )
+    re_ = exact(llr, syn, primary, secondary, 0.0)
+    rf = fast(llr, syn, primary, secondary, 0.0)
+    assert np.asarray(rf.syndromes_match).all()
+    np.testing.assert_array_equal(
+        np.asarray(rf.decision), np.asarray(alice)
+    )
+    assert np.abs(
+        np.asarray(rf.iterations) - np.asarray(re_.iterations)
+    ).max() <= 4
+
+
+def test_bf16x2_trial_matches_decode(medium_matrix):
+    """Packed trial kernel must agree with the packed decode kernel on the
+    same channel realization (same transport, same trajectories)."""
+    alice, bob, llr, syn = channel_case(medium_matrix, 8, 0.02, 29)
+    fused = jax.jit(
+        make_pallas_generic_decoder(
+            medium_matrix, DecodingAlgorithm.NMSA, 30, False,
+            batch_tile=8, interpret=True, transport="bf16x2",
+        )
+    )
+    trial = jax.jit(
+        make_pallas_generic_trial(
+            medium_matrix, DecodingAlgorithm.NMSA, 30, False,
+            batch_tile=8, interpret=True, transport="bf16x2",
+        )
+    )
+    rd = fused(llr, syn, 0.8, 1.0, 0.0)
+    conv, keys, iters = trial(alice, bob, 0.02, 0.8, 1.0, 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(conv), np.asarray(rd.syndromes_match)
+    )
+    np.testing.assert_array_equal(np.asarray(iters), np.asarray(rd.iterations))
+    expect_keys = np.all(
+        np.asarray(rd.decision) == np.asarray(alice), axis=1
+    ) & np.asarray(conv)
+    np.testing.assert_array_equal(np.asarray(keys), expect_keys)
+
+
+def test_bf16x2_multi_tile_irregular():
+    """Packed transport through the full Clos pipeline on a multi-tile
+    irregular-ish code."""
+    matrix = generate_regular_ldpc(
+        num_bits=4096, num_checks=2048, column_weight=5, seed=21
+    )
+    alice, bob, llr, syn = channel_case(matrix, 8, 0.02, 31)
+    fast = jax.jit(
+        make_pallas_generic_decoder(
+            matrix, DecodingAlgorithm.NMSA, 40, False,
+            batch_tile=8, interpret=True, transport="bf16x2",
+        )
+    )
+    rf = fast(llr, syn, 0.8, 1.0, 0.0)
+    conv = np.asarray(rf.syndromes_match)
+    assert conv.all()
+    np.testing.assert_array_equal(np.asarray(rf.decision), np.asarray(alice))
+
+
+def test_bf16x2_odd_batch_padding(medium_matrix):
+    alice, bob, llr, syn = channel_case(medium_matrix, 5, 0.02, 37)
+    fused = jax.jit(
+        make_pallas_generic_decoder(
+            medium_matrix, DecodingAlgorithm.NMSA, 30, False,
+            batch_tile=8, interpret=True, transport="bf16x2",
+        )
+    )
+    r = fused(llr, syn, 0.8, 1.0, 0.0)
+    assert r.decision.shape == (5, medium_matrix.num_bit_nodes)
+    assert np.asarray(r.syndromes_match).all()
+
+
+def test_bf16x2_rejects_odd_tile(medium_matrix):
+    with pytest.raises(ValueError):
+        make_pallas_generic_decoder(
+            medium_matrix, DecodingAlgorithm.NMSA, 30, False,
+            batch_tile=7, interpret=True, transport="bf16x2",
+        )
+
+
+def test_spa_ignores_transport(medium_matrix):
+    """SPA always uses f32 transport; requesting bf16x2 must not change its
+    results (the flag is a no-op for the SPA family)."""
+    alice, bob, llr, syn = channel_case(medium_matrix, 8, 0.02, 41)
+    a = jax.jit(
+        make_pallas_generic_decoder(
+            medium_matrix, DecodingAlgorithm.SPA, 30, False,
+            batch_tile=8, interpret=True, transport="f32",
+        )
+    )
+    b = jax.jit(
+        make_pallas_generic_decoder(
+            medium_matrix, DecodingAlgorithm.SPA, 30, False,
+            batch_tile=8, interpret=True, transport="bf16x2",
+        )
+    )
+    ra = a(llr, syn, 1.0, 1.0, 0.0)
+    rb = b(llr, syn, 1.0, 1.0, 0.0)
+    np.testing.assert_array_equal(np.asarray(ra.decision),
+                                  np.asarray(rb.decision))
+    np.testing.assert_array_equal(np.asarray(ra.iterations),
+                                  np.asarray(rb.iterations))
