@@ -45,6 +45,16 @@ POINTS = [
     (5, "AOMSA", 0.5, 1.0, 0.03),
 ]
 
+# --all: every decoding algorithm at the 0.03 working point (the first
+# three points above stay, so the committed table rows reproduce).
+ALL_POINTS = POINTS + [
+    (0, "SPA", 1.0, 1.0, 0.03),
+    (1, "SPA-LIN", 1.0, 1.0, 0.03),
+    (3, "OMSA", 0.3, 1.0, 0.03),
+    (4, "ANMSA", 0.8, 0.6, 0.03),
+    (5, "AOMSA", 0.5, 1.0, 0.035),
+]
+
 
 def gen_channel(rng, batch, qber):
     alice = rng.integers(0, 2, (batch, N)).astype(np.int8)
@@ -87,8 +97,10 @@ def wilson_ci(k, n, z=1.96):
 
 
 def main() -> int:
-    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    trials = int(args[0]) if args else 10000
     force_cpu = "--cpu" in sys.argv
+    points = ALL_POINTS if "--all" in sys.argv else POINTS
     if force_cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -112,7 +124,7 @@ def main() -> int:
     rows = ["| alg | QBER | FER ref (95% CI) | FER tpu (95% CI) | "
             "frame agreement | iters ref/tpu |",
             "|---|---|---|---|---|---|"]
-    for alg, name, primary, secondary, qber in POINTS:
+    for alg, name, primary, secondary, qber in points:
         trial = jax.jit(make_pallas_generic_trial(
             matrix, DecodingAlgorithm(alg), 100, False,
             batch_tile=8, interpret=interpret,
