@@ -50,7 +50,11 @@ import jax.numpy as jnp
 
 from qkd_ldpc_v_tpu.config import DecodingAlgorithm
 from qkd_ldpc_v_tpu.models.layout import EdgeLayout
-from qkd_ldpc_v_tpu.ops.linapprox import atanh_lin_approx, tanh_lin_approx
+from qkd_ldpc_v_tpu.ops.linapprox import (
+    atanh_lin_approx,
+    guard_atanh_ratio,
+    tanh_lin_approx,
+)
 
 
 class DecodeResult(NamedTuple):
@@ -189,7 +193,13 @@ def make_decoder(
             ss = jax.lax.dynamic_slice_in_dim(syn_sign, g.node_start, g.count, axis=0)
             t = tanh_fn(msgs * jnp.asarray(0.5, dtype))
             row_prod = _prod_terms(ss, t, exact)
-            e = 2.0 * atanh_fn(row_prod[:, None, :] / t)
+            ratio = row_prod[:, None, :] / t
+            if algorithm == DecodingAlgorithm.SPA and not exact:
+                # True-SPA fast modes need the atanh domain guard (SPA-LIN's
+                # piecewise atanh is finite everywhere; f64 stays reference-
+                # exact). See linapprox.guard_atanh_ratio.
+                ratio = guard_atanh_ratio(ratio, dtype)
+            e = 2.0 * atanh_fn(ratio)
             parts.append(e.reshape(-1, e.shape[-1]).astype(dtype))
         return _concat_groups(parts)
 

@@ -31,6 +31,26 @@ _ATANH_COEFFS = (
 )
 
 
+def guard_atanh_ratio(ratio, dtype):
+    """Keep the true-SPA exclusion ratio ``prod / tanh_i`` inside atanh's
+    open domain in the fast (float32/bfloat16) modes.
+
+    At reduced precision, rounding routinely pushes ``|prod / t|`` to >= 1
+    (``atanh`` -> inf, then ``inf - inf`` -> NaN in the bit pass) and a
+    message rounding to exactly zero makes the ratio 0/0 -> NaN; the
+    reference's float64 arithmetic makes both vanishingly rare (measured on
+    the reference's alist 10k matrix at QBER 0.03: unguarded f32 SPA FER
+    0.163 vs the reference's 0.0006 — the guard restores statistical FER
+    parity, tests/test_decoders.py). Clamps to the largest representable
+    value below one (so the extrinsic saturates at ``2*atanh(1 - ulp)``)
+    and neutralizes NaN ratios to zero. The float64 parity path never
+    applies this guard — it stays bit-exact with the reference.
+    """
+    limit = jnp.asarray(1.0, dtype) - jnp.asarray(jnp.finfo(dtype).epsneg, dtype)
+    out = jnp.clip(ratio, -limit, limit)
+    return jnp.where(jnp.isnan(ratio), jnp.asarray(0.0, dtype), out)
+
+
 def _piecewise(ax, bounds, vals, default):
     """First-true-wins where-chain: fold from the last segment backward."""
     res = default

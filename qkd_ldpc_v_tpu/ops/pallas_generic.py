@@ -48,7 +48,11 @@ from jax.experimental.pallas import tpu as pltpu
 from qkd_ldpc_v_tpu.config import DecodingAlgorithm
 from qkd_ldpc_v_tpu.models.hmatrix import HMatrix
 from qkd_ldpc_v_tpu.ops.decoders import DecodeResult
-from qkd_ldpc_v_tpu.ops.linapprox import atanh_lin_approx, tanh_lin_approx
+from qkd_ldpc_v_tpu.ops.linapprox import (
+    atanh_lin_approx,
+    guard_atanh_ratio,
+    tanh_lin_approx,
+)
 from qkd_ldpc_v_tpu.ops.permute_plan import LANES, PermutePlan, build_permute_plan
 
 # Largest edge-space tile count the kernel accepts: three edge buffers of
@@ -281,6 +285,9 @@ def _build(
         atanh_fn = lambda x: 0.5 * jnp.log((1.0 + x) / (1.0 - x))  # noqa: E731
     else:
         tanh_fn, atanh_fn = tanh_lin_approx, atanh_lin_approx
+    # True-SPA fast mode needs the atanh domain guard (see
+    # linapprox.guard_atanh_ratio); SPA-LIN's piecewise atanh is finite.
+    guard = algorithm == DecodingAlgorithm.SPA
 
     idx_bits = max(1, (nbr * LANES - 1).bit_length())
     bit_edge_rows = plan.bits.edge_rows
@@ -612,9 +619,12 @@ def _build(
                     for t in ts:
                         prod = prod * t
                     for s, t in enumerate(ts):
+                        ratio = prod / t
+                        if guard:
+                            ratio = guard_atanh_ratio(ratio, dtype)
                         msg[:, eoff + s * blocks : eoff + (s + 1) * blocks, :] = (
                             clamp(
-                                (2.0 * atanh_fn(prod / t)).astype(dtype),
+                                (2.0 * atanh_fn(ratio)).astype(dtype),
                                 threshold,
                             )
                         )

@@ -44,7 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 from qkd_ldpc_v_tpu.config import DecodingAlgorithm
 from qkd_ldpc_v_tpu.models.qc import QCMatrix
 from qkd_ldpc_v_tpu.ops.decoders import DecodeResult
-from qkd_ldpc_v_tpu.ops.linapprox import atanh_lin_approx, tanh_lin_approx
+from qkd_ldpc_v_tpu.ops.linapprox import (
+    atanh_lin_approx,
+    guard_atanh_ratio,
+    tanh_lin_approx,
+)
 
 
 def feasible_batch_tile(qc: QCMatrix, mode: str = "mc") -> int:
@@ -106,6 +110,9 @@ def _build(
         atanh_fn = lambda x: 0.5 * jnp.log((1.0 + x) / (1.0 - x))  # noqa: E731
     else:
         tanh_fn, atanh_fn = tanh_lin_approx, atanh_lin_approx
+    # True-SPA fast modes need the atanh domain guard (see
+    # linapprox.guard_atanh_ratio); SPA-LIN's piecewise atanh is finite.
+    guard = algorithm == DecodingAlgorithm.SPA and dtype != jnp.float64
 
     rows, cols, num_be = _base_tables(qc)
 
@@ -250,8 +257,11 @@ def _build(
                     for t in ts:
                         row_prod = row_prod * t
                     for (e, c, s), t in zip(rows[r], ts):
+                        ratio = row_prod / t
+                        if guard:
+                            ratio = guard_atanh_ratio(ratio, dtype)
                         msg[e] = clamp(
-                            (2.0 * atanh_fn(row_prod / t)).astype(dtype), threshold
+                            (2.0 * atanh_fn(ratio)).astype(dtype), threshold
                         )
                 else:
                     # Pairwise two-minimum chain: exact multiset semantics,

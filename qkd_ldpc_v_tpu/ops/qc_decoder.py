@@ -31,7 +31,11 @@ import numpy as np
 from qkd_ldpc_v_tpu.config import DecodingAlgorithm
 from qkd_ldpc_v_tpu.models.qc import QCMatrix
 from qkd_ldpc_v_tpu.ops.decoders import DecodeResult
-from qkd_ldpc_v_tpu.ops.linapprox import atanh_lin_approx, tanh_lin_approx
+from qkd_ldpc_v_tpu.ops.linapprox import (
+    atanh_lin_approx,
+    guard_atanh_ratio,
+    tanh_lin_approx,
+)
 
 
 class _QCPlan:
@@ -173,7 +177,10 @@ def make_qc_decoder(
             if not minsum:
                 t = tanh_fn(msgs * jnp.asarray(0.5, dtype))
                 row_prod = ss * jnp.prod(t, axis=1)
-                e = 2.0 * atanh_fn(row_prod[:, None] / t)
+                ratio = row_prod[:, None] / t
+                if algorithm == DecodingAlgorithm.SPA and dtype != jnp.float64:
+                    ratio = guard_atanh_ratio(ratio, dtype)
+                e = 2.0 * atanh_fn(ratio)
             else:
                 a = jnp.abs(msgs)
                 min1 = jnp.min(a, axis=1)

@@ -5,7 +5,8 @@ The reference's largest production suite is matrices_alist_100k_all
 full driver path runs the generic XLA decoder with two-phase straggler
 re-decode. Usage:
 
-    python scripts/bench_100k.py [batch] [trials]
+    python scripts/bench_100k.py [batch] [trials] [--dtype=float32|bfloat16]
+                                 [--alpha=0.8] [--matrix=path]
 """
 
 import sys
@@ -38,10 +39,18 @@ ALPHA = 0.8
 
 
 def main() -> int:
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-    print(f"device: {jax.devices()[0]}", file=sys.stderr)
-    matrix = read_sparse_matrix_alist(MATRIX)
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(
+        a.lstrip("-").split("=", 1) for a in sys.argv[1:] if a.startswith("--")
+    )
+    batch = int(pos[0]) if pos else 256
+    trials = int(pos[1]) if len(pos) > 1 else 512
+    dtype = opts.get("dtype", "float32")
+    alpha = float(opts.get("alpha", ALPHA))
+    matrix_path = Path(opts.get("matrix", MATRIX))
+    print(f"device: {jax.devices()[0]} dtype={dtype} alpha={alpha} "
+          f"batch={batch}", file=sys.stderr)
+    matrix = read_sparse_matrix_alist(matrix_path)
 
     def cfg(n):
         return Config(
@@ -51,9 +60,10 @@ def main() -> int:
             decoding_alg_max_iterations=100,
             r_qber_ranges=(RQBERRange(0.99, QBER, QBER, 0.01),),
             batch_size=batch,
+            dtype=dtype,
         )
 
-    comb = SimCombination(QBER, HMatrixParams(), ScalingFactors(primary=ALPHA))
+    comb = SimCombination(QBER, HMatrixParams(), ScalingFactors(primary=alpha))
     t0 = time.perf_counter()
     warm = run_combination(matrix, comb, cfg(batch), sim_number=0)
     print(
@@ -66,7 +76,7 @@ def main() -> int:
     res = run_combination(matrix, comb, cfg(trials), sim_number=1)
     dt = time.perf_counter() - t0
     print(
-        f"N=102400 R=0.69 CW=3 NMSA alpha={ALPHA} QBER={QBER}: "
+        f"{matrix_path.stem} NMSA alpha={alpha} dtype={dtype} QBER={QBER}: "
         f"{trials} frames in {dt:.1f}s -> {trials/dt:.1f} frames/s "
         f"({trials/dt*102400/1e6:.1f} Mbit/s raw key), "
         f"FER={1-res.ratio_trials_success_ldpc:.4f} "

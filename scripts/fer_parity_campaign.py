@@ -45,12 +45,15 @@ POINTS = [
     (5, "AOMSA", 0.5, 1.0, 0.03),
 ]
 
-# --all: every decoding algorithm at the 0.03 working point (the first
-# three points above stay, so the committed table rows reproduce).
+# --all: every decoding algorithm at its working point (the first three
+# points above stay, so the committed table rows reproduce). OMSA is weak on
+# this code (best beta ~0.7, FER ~7% at QBER 0.03 in both implementations);
+# it gets a clean below-threshold point at 0.025 and the near-threshold one.
 ALL_POINTS = POINTS + [
     (0, "SPA", 1.0, 1.0, 0.03),
     (1, "SPA-LIN", 1.0, 1.0, 0.03),
-    (3, "OMSA", 0.3, 1.0, 0.03),
+    (3, "OMSA", 0.7, 1.0, 0.025),
+    (3, "OMSA", 0.7, 1.0, 0.03),
     (4, "ANMSA", 0.8, 0.6, 0.03),
     (5, "AOMSA", 0.5, 1.0, 0.035),
 ]
@@ -101,6 +104,10 @@ def main() -> int:
     trials = int(args[0]) if args else 10000
     force_cpu = "--cpu" in sys.argv
     points = ALL_POINTS if "--all" in sys.argv else POINTS
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    if only:
+        names = set(only[0].split(","))
+        points = [p for p in points if p[1] in names]
     if force_cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")

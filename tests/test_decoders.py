@@ -182,3 +182,52 @@ def test_bfloat16_decodes(medium_matrix, alg):
     # bf16 messages lose precision but the code is operating far below its
     # threshold here: require >= 80% corrected frames.
     assert np.mean(matched & keys_ok) >= 0.8
+
+
+def test_guard_atanh_ratio_unit():
+    from qkd_ldpc_v_tpu.ops.linapprox import guard_atanh_ratio
+
+    x = jnp.asarray([0.5, -0.5, 1.0, -1.0, 1.5, -2.0, np.nan], jnp.float32)
+    g = np.asarray(guard_atanh_ratio(x, jnp.float32))
+    limit = np.float32(1.0) - np.finfo(np.float32).epsneg
+    assert g[0] == np.float32(0.5) and g[1] == np.float32(-0.5)  # untouched
+    assert g[2] == limit and g[4] == limit
+    assert g[3] == -limit and g[5] == -limit
+    assert g[6] == 0.0
+    assert np.all(np.isfinite(np.arctanh(g)))
+
+
+def test_spa_f32_guard_matches_f64_at_depth():
+    """Regression for the f32 SPA saturation bug: at production depth
+    (10k-bit frames, ~13 iterations) unguarded f32 SPA pushed the check
+    pass's exclusion ratio prod/tanh to |ratio| >= 1 — atanh -> inf, then
+    inf - inf -> NaN in the bit pass — failing ~6-16% of frames that the
+    reference's f64 arithmetic decodes (measured FER 0.163 vs 0.0006 on the
+    reference's alist suite before linapprox.guard_atanh_ratio). Guarded
+    f32 must now decode every frame the f64 path decodes at this operating
+    point, with identical iteration counts."""
+    from pathlib import Path
+
+    from qkd_ldpc_v_tpu.models.hmatrix import read_sparse_matrix_alist
+
+    path = (
+        Path(__file__).resolve().parent.parent
+        / "sparse_matrices"
+        / "matrices_alist"
+        / "(N=10240,M=2841,R=0.72,CW=4,SEED=66).mtrx"
+    )
+    matrix = read_sparse_matrix_alist(path)
+    layout = compile_layout(matrix)
+    batch = 16
+    alice, bob, llr, q = make_case(matrix, batch, qber=0.03, seed=77)
+    syn = np.asarray(calculate_syndrome(layout, jnp.asarray(alice)))
+    d64 = get_decoder(layout, DecodingAlgorithm.SPA, 100, False, dtype=jnp.float64)
+    d32 = get_decoder(layout, DecodingAlgorithm.SPA, 100, False, dtype=jnp.float32)
+    r64 = d64(jnp.asarray(llr), jnp.asarray(syn))
+    r32 = d32(jnp.asarray(llr, dtype=np.float32), jnp.asarray(syn))
+    ok64 = np.asarray(r64.syndromes_match)
+    ok32 = np.asarray(r32.syndromes_match)
+    assert ok64.all(), "operating point must be below threshold for f64"
+    assert ok32.all()
+    assert np.array_equal(np.asarray(r32.iterations), np.asarray(r64.iterations))
+    assert np.array_equal(np.asarray(r32.decision), np.asarray(r64.decision))
