@@ -361,6 +361,52 @@ def read_matrix(matrix_path, matrix_format: MatrixFormat) -> HMatrix:
     return _READERS[matrix_format](matrix_path)
 
 
+def write_dense(matrix: HMatrix, path) -> None:
+    """Write an HMatrix as dense 0/1 text (the reference's uncompressed
+    format, read by read_sparse_uncompressed_matrix; reference:
+    src/array_and_matrix_operations.cpp:764-886)."""
+    path = Path(path)
+    n = matrix.num_bit_nodes
+    lines = []
+    for row in matrix.check_nodes:
+        vals = ["0"] * n
+        for v in row:
+            vals[int(v)] = "1"
+        lines.append(" ".join(vals))
+    path.write_text("\n".join(lines) + "\n")
+
+
+def write_sparse_1(matrix: HMatrix, path) -> None:
+    """Write an HMatrix in format 1 (MacKay/PEG; read by
+    read_sparse_matrix_1): N, M, max-row-weight header lines, then M rows of
+    1-based bit indices zero-padded to the maximum row weight (reference:
+    src/array_and_matrix_operations.cpp:478-617)."""
+    path = Path(path)
+    max_w = max(len(r) for r in matrix.check_nodes)
+    lines = [
+        str(matrix.num_bit_nodes),
+        str(matrix.num_check_nodes),
+        str(max_w),
+    ]
+    for row in matrix.check_nodes:
+        entries = [str(int(v) + 1) for v in row] + ["0"] * (max_w - len(row))
+        lines.append(" ".join(entries))
+    path.write_text("\n".join(lines) + "\n")
+
+
+def write_sparse_2(matrix: HMatrix, path) -> None:
+    """Write an HMatrix in format 2 (read by read_sparse_matrix_2): "N M"
+    header, M rows of 0-based bit indices, then N rows of 0-based check
+    indices (reference: src/array_and_matrix_operations.cpp:626-761)."""
+    path = Path(path)
+    lines = [f"{matrix.num_bit_nodes} {matrix.num_check_nodes}"]
+    for row in matrix.check_nodes:
+        lines.append(" ".join(str(int(v)) for v in row))
+    for row in matrix.bit_nodes:
+        lines.append(" ".join(str(int(v)) for v in row))
+    path.write_text("\n".join(lines) + "\n")
+
+
 def write_alist(matrix: HMatrix, path) -> None:
     """Write an HMatrix in alist format (utility for generated codes)."""
     path = Path(path)

@@ -17,7 +17,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 from qkd_ldpc_v_tpu.models.generator import generate_regular_ldpc
-from qkd_ldpc_v_tpu.models.hmatrix import write_alist
+from qkd_ldpc_v_tpu.models.hmatrix import (
+    from_dense,
+    write_alist,
+    write_dense,
+    write_sparse_1,
+    write_sparse_2,
+)
 from qkd_ldpc_v_tpu.models.qc import generate_qc_peg, write_qc_matrix
 from qkd_ldpc_v_tpu.rate_adapt import get_punctured_bits_untainted
 
@@ -100,6 +106,57 @@ def main() -> int:
         write_alist(mat, alist_dir / name)
         _untp(alist_dir / name, mat, seed=2000 + seed)
         print("wrote", alist_dir / name)
+
+    # ------------------------------------------------------------------
+    # The remaining reference matrix formats, so every format the CLI
+    # accepts has committed assets (reference directory conventions:
+    # src/main.cpp:7-11 — matrices_uncompressed / matrices_1 / matrices_2).
+    # ------------------------------------------------------------------
+
+    # Dense uncompressed: the Johnson textbook code (the same asset the
+    # reference ships as matrices_uncompressed/(N=6,K=2,M=4,R=0.34).mtrx;
+    # examples/qkd_ldpc_example.py decodes it) plus a generated toy.
+    dense_dir = ROOT / "sparse_matrices" / "matrices_uncompressed"
+    dense_dir.mkdir(parents=True, exist_ok=True)
+    johnson = from_dense(np.array(
+        [
+            [1, 1, 0, 1, 0, 0],
+            [0, 1, 1, 0, 1, 0],
+            [1, 0, 0, 0, 1, 1],
+            [0, 0, 1, 1, 0, 1],
+        ],
+        dtype=np.int8,
+    ))
+    write_dense(johnson, dense_dir / "(N=6,K=2,M=4,R=0.34).mtrx")
+    _untp(dense_dir / "(N=6,K=2,M=4,R=0.34).mtrx", johnson, seed=5001)
+    print("wrote", dense_dir / "(N=6,K=2,M=4,R=0.34).mtrx")
+    toy = generate_regular_ldpc(32, 16, 3, seed=71)
+    write_dense(toy, dense_dir / "(N=32,M=16,R=0.50,CW=3,SEED=71).mtrx")
+    _untp(dense_dir / "(N=32,M=16,R=0.50,CW=3,SEED=71).mtrx", toy, seed=5071)
+    print("wrote", dense_dir / "(N=32,M=16,R=0.50,CW=3,SEED=71).mtrx")
+
+    # Format 1 (MacKay/PEG) and format 2: the same generated codes as two
+    # of the alist ladder entries (identical seeds — cross-format reads
+    # must agree, tests/test_assets.py) plus the 10k point in format 2
+    # (the reference's matrices_2_10k_all family), with .untp caches.
+    fmt1_dir = ROOT / "sparse_matrices" / "matrices_1"
+    fmt2_dir = ROOT / "sparse_matrices" / "matrices_2"
+    fmt1_dir.mkdir(parents=True, exist_ok=True)
+    fmt2_dir.mkdir(parents=True, exist_ok=True)
+    for n, m, cw, seed in ((1024, 512, 3, 5), (1024, 256, 4, 63)):
+        mat = generate_regular_ldpc(n, m, cw, seed=seed)
+        name = f"(N={n},M={m},R={1 - m / n:.2f},CW={cw},SEED={seed}).mtrx"
+        write_sparse_1(mat, fmt1_dir / name)
+        _untp(fmt1_dir / name, mat, seed=3000 + seed)
+        print("wrote", fmt1_dir / name)
+    for n, m, cw, seed in (
+        (1024, 283, 4, 6), (1024, 154, 5, 64), (10240, 2841, 4, 66),
+    ):
+        mat = generate_regular_ldpc(n, m, cw, seed=seed)
+        name = f"(N={n},M={m},R={1 - m / n:.2f},CW={cw},SEED={seed}).mtrx"
+        write_sparse_2(mat, fmt2_dir / name)
+        _untp(fmt2_dir / name, mat, seed=4000 + seed)
+        print("wrote", fmt2_dir / name)
 
     sweep = {
         "threads_number": 1,

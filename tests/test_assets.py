@@ -68,6 +68,57 @@ def test_untp_caches_committed():
     assert not missing, f"matrices without .untp cache: {missing}"
 
 
+def test_cross_format_reads_agree():
+    """The same generated code is committed in several reference formats
+    (alist / format-1 / format-2); every reader must produce the identical
+    adjacency structure."""
+    import numpy as np
+
+    pairs = [
+        ("matrices_alist", 1, "matrices_1", 2,
+         "(N=1024,M=512,R=0.50,CW=3,SEED=5).mtrx"),
+        ("matrices_alist", 1, "matrices_2", 3,
+         "(N=1024,M=283,R=0.72,CW=4,SEED=6).mtrx"),
+        ("matrices_alist", 1, "matrices_2", 3,
+         "(N=10240,M=2841,R=0.72,CW=4,SEED=66).mtrx"),
+    ]
+    for dir_a, fmt_a, dir_b, fmt_b, name in pairs:
+        a = read_matrix(ROOT / "sparse_matrices" / dir_a / name, fmt_a)
+        b = read_matrix(ROOT / "sparse_matrices" / dir_b / name, fmt_b)
+        assert a.is_regular == b.is_regular
+        assert len(a.check_nodes) == len(b.check_nodes)
+        for ra, rb in zip(a.check_nodes, b.check_nodes):
+            assert np.array_equal(ra, rb)
+        for ra, rb in zip(a.bit_nodes, b.bit_nodes):
+            assert np.array_equal(ra, rb)
+
+
+def test_dense_johnson_matches_example():
+    """The committed dense asset is the Johnson textbook matrix the library
+    example decodes (reference ships the same file;
+    example/qkd_ldpc_example.cpp:16)."""
+    import numpy as np
+
+    mat = read_matrix(
+        ROOT / "sparse_matrices" / "matrices_uncompressed"
+        / "(N=6,K=2,M=4,R=0.34).mtrx",
+        0,
+    )
+    assert mat.num_bit_nodes == 6 and mat.num_check_nodes == 4
+    expected = np.array(
+        [
+            [1, 1, 0, 1, 0, 0],
+            [0, 1, 1, 0, 1, 0],
+            [1, 0, 0, 0, 1, 1],
+            [0, 0, 1, 1, 0, 1],
+        ]
+    )
+    dense = np.zeros((4, 6), dtype=int)
+    for j, row in enumerate(mat.check_nodes):
+        dense[j, np.asarray(row)] = 1
+    assert np.array_equal(dense, expected)
+
+
 def all_configs():
     return sorted(glob.glob(str(ROOT / "configs" / "*.json")))
 
