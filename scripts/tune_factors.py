@@ -27,6 +27,8 @@ def main() -> int:
     p.add_argument("--trials", type=int, default=8192)
     p.add_argument("--qber", type=float, default=0.03)
     p.add_argument("--alg", default="NMSA,OMSA,ANMSA,AOMSA")
+    p.add_argument("--matrix", default=None,
+                   help="alist matrix path (default: the QC headline code)")
     args = p.parse_args()
 
     from qkd_ldpc_v_tpu.config import Config, DecodingAlgorithm, RQBERRange
@@ -41,9 +43,14 @@ def main() -> int:
 
     enable_compilation_cache()
 
-    matrix = generate_qc_peg(
-        base_bits=20, base_checks=6, lifting=512, column_weight=4, seed=9
-    ).to_hmatrix()
+    if args.matrix:
+        from qkd_ldpc_v_tpu.models.hmatrix import read_sparse_matrix_alist
+
+        matrix = read_sparse_matrix_alist(args.matrix)
+    else:
+        matrix = generate_qc_peg(
+            base_bits=20, base_checks=6, lifting=512, column_weight=4, seed=9
+        ).to_hmatrix()
 
     grids = {
         "NMSA": [(a, 1.0) for a in (0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8,
