@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from qkd_ldpc_v_tpu.config import DecodingAlgorithm
 from qkd_ldpc_v_tpu.models.qc import QCMatrix
 from qkd_ldpc_v_tpu.ops.decoders import DecodeResult
+from qkd_ldpc_v_tpu.ops.dispatch import is_traced, scalar_bundle, unbundle
 from qkd_ldpc_v_tpu.ops.linapprox import (
     atanh_lin_approx,
     guard_atanh_ratio,
@@ -469,13 +470,7 @@ def make_pallas_qc_decoder(
         mode="decode",
     )
 
-    def decode(
-        llr_ext: jax.Array,
-        syndrome_ext: jax.Array,
-        primary=1.0,
-        secondary=1.0,
-        threshold=0.0,
-    ) -> DecodeResult:
+    def _impl(llr_ext, syndrome_ext, prim, sec, thr) -> DecodeResult:
         b = llr_ext.shape[0]
         pad = (-b) % tb
         llr = jnp.pad(llr_ext.astype(fdtype), ((0, pad), (0, 0)))
@@ -483,9 +478,6 @@ def make_pallas_qc_decoder(
         # converge on iteration 1 and never hold a tile open.
         llr = llr.at[b:, :].set(1.0) if pad else llr
         syndrome = jnp.pad(syndrome_ext.astype(jnp.int32), ((0, pad), (0, 0)))
-        prim = jnp.full((1, 1), primary, fdtype)
-        sec = jnp.full((1, 1), secondary, fdtype)
-        thr = jnp.full((1, 1), threshold, fdtype)
         bp = b + pad
         dec, conv, iters = call(
             bp // tb, bp, llr, syndrome, prim, sec, thr
@@ -494,6 +486,32 @@ def make_pallas_qc_decoder(
             decision=dec[:b],
             syndromes_match=conv[:b, 0].astype(bool),
             iterations=iters[:b, 0],
+        )
+
+    jitted = [None]
+
+    def decode(
+        llr_ext: jax.Array,
+        syndrome_ext: jax.Array,
+        primary=1.0,
+        secondary=1.0,
+        threshold=0.0,
+    ) -> DecodeResult:
+        if is_traced(llr_ext, syndrome_ext, primary, secondary, threshold):
+            return _impl(
+                llr_ext, syndrome_ext,
+                jnp.full((1, 1), primary, fdtype),
+                jnp.full((1, 1), secondary, fdtype),
+                jnp.full((1, 1), threshold, fdtype),
+            )
+        if jitted[0] is None:
+            def run(llr_a, syn_a, vec):
+                _, (prim, sec, thr) = unbundle(vec, 0, 3)
+                return _impl(llr_a, syn_a, prim, sec, thr)
+            jitted[0] = jax.jit(run)
+        return jitted[0](
+            llr_ext, syndrome_ext,
+            scalar_bundle([], [primary, secondary, threshold]),
         )
 
     return decode
@@ -522,7 +540,7 @@ def make_pallas_qc_trial(
         mode="trial",
     )
 
-    def trial(alice, bob, qber, primary=1.0, secondary=1.0, threshold=0.0):
+    def _impl(alice, bob, qb, prim, sec, thr):
         b = alice.shape[0]
         pad = (-b) % tb
         # Padding frames: alice == bob == 0 -> zero syndrome, all-positive
@@ -530,10 +548,6 @@ def make_pallas_qc_trial(
         # would force a 32-row minimum tile).
         alice = jnp.pad(alice.astype(jnp.int32), ((0, pad), (0, 0)))
         bob = jnp.pad(bob.astype(jnp.int32), ((0, pad), (0, 0)))
-        qb = jnp.full((1, 1), qber, fdtype)
-        prim = jnp.full((1, 1), primary, fdtype)
-        sec = jnp.full((1, 1), secondary, fdtype)
-        thr = jnp.full((1, 1), threshold, fdtype)
         bp = b + pad
         conv, keys, iters = call(
             bp // tb, bp, alice, bob, qb, prim, sec, thr
@@ -542,6 +556,27 @@ def make_pallas_qc_trial(
             conv[:b, 0].astype(bool),
             keys[:b, 0].astype(bool),
             iters[:b, 0],
+        )
+
+    jitted = [None]
+
+    def trial(alice, bob, qber, primary=1.0, secondary=1.0, threshold=0.0):
+        if is_traced(alice, bob, qber, primary, secondary, threshold):
+            return _impl(
+                alice, bob,
+                jnp.full((1, 1), qber, fdtype),
+                jnp.full((1, 1), primary, fdtype),
+                jnp.full((1, 1), secondary, fdtype),
+                jnp.full((1, 1), threshold, fdtype),
+            )
+        if jitted[0] is None:
+            def run(alice_a, bob_a, vec):
+                _, (qb, prim, sec, thr) = unbundle(vec, 0, 4)
+                return _impl(alice_a, bob_a, qb, prim, sec, thr)
+            jitted[0] = jax.jit(run)
+        return jitted[0](
+            alice, bob,
+            scalar_bundle([], [qber, primary, secondary, threshold]),
         )
 
     return trial
@@ -577,13 +612,7 @@ def make_pallas_qc_montecarlo(
         mode="mc",
     )
 
-    def mc(seed, num_errors, qber, primary=1.0, secondary=1.0, threshold=0.0):
-        sd = jnp.full((1, 1), seed, jnp.int32)
-        ne = jnp.full((1, 1), num_errors, jnp.int32)
-        qb = jnp.full((1, 1), qber, fdtype)
-        prim = jnp.full((1, 1), primary, fdtype)
-        sec = jnp.full((1, 1), secondary, fdtype)
-        thr = jnp.full((1, 1), threshold, fdtype)
+    def _impl(sd, ne, qb, prim, sec, thr):
         conv, keys, iters = call(
             padded // tb, padded, sd, ne, qb, prim, sec, thr
         )
@@ -592,6 +621,27 @@ def make_pallas_qc_montecarlo(
             keys[:batch, 0].astype(bool),
             iters[:batch, 0],
         )
+
+    jitted = [None]
+
+    def mc(seed, num_errors, qber, primary=1.0, secondary=1.0, threshold=0.0):
+        if is_traced(seed, num_errors, qber, primary, secondary, threshold):
+            return _impl(
+                jnp.full((1, 1), seed, jnp.int32),
+                jnp.full((1, 1), num_errors, jnp.int32),
+                jnp.full((1, 1), qber, fdtype),
+                jnp.full((1, 1), primary, fdtype),
+                jnp.full((1, 1), secondary, fdtype),
+                jnp.full((1, 1), threshold, fdtype),
+            )
+        if jitted[0] is None:
+            def run(vec):
+                (sd, ne), (qb, prim, sec, thr) = unbundle(vec, 2, 4)
+                return _impl(sd, ne, qb, prim, sec, thr)
+            jitted[0] = jax.jit(run)
+        return jitted[0](scalar_bundle(
+            [seed, num_errors], [qber, primary, secondary, threshold]
+        ))
 
     return mc
 
@@ -618,21 +668,38 @@ def make_pallas_qc_frame_trial(
         mode="frame",
     )
 
-    def trial(alice_frame, llr, primary=1.0, secondary=1.0, threshold=0.0):
+    def _impl(alice_frame, llr, prim, sec, thr):
         b = alice_frame.shape[0]
         pad = (-b) % tb
         alice_frame = jnp.pad(alice_frame.astype(jnp.int32), ((0, pad), (0, 0)))
         llr = jnp.pad(llr.astype(fdtype), ((0, pad), (0, 0)))
         llr = llr.at[b:, :].set(1.0) if pad else llr
-        prim = jnp.full((1, 1), primary, fdtype)
-        sec = jnp.full((1, 1), secondary, fdtype)
-        thr = jnp.full((1, 1), threshold, fdtype)
         bp = b + pad
         conv, keys, iters = call(bp // tb, bp, alice_frame, llr, prim, sec, thr)
         return (
             conv[:b, 0].astype(bool),
             keys[:b, 0].astype(bool),
             iters[:b, 0],
+        )
+
+    jitted = [None]
+
+    def trial(alice_frame, llr, primary=1.0, secondary=1.0, threshold=0.0):
+        if is_traced(alice_frame, llr, primary, secondary, threshold):
+            return _impl(
+                alice_frame, llr,
+                jnp.full((1, 1), primary, fdtype),
+                jnp.full((1, 1), secondary, fdtype),
+                jnp.full((1, 1), threshold, fdtype),
+            )
+        if jitted[0] is None:
+            def run(af, llr_a, vec):
+                _, (prim, sec, thr) = unbundle(vec, 0, 3)
+                return _impl(af, llr_a, prim, sec, thr)
+            jitted[0] = jax.jit(run)
+        return jitted[0](
+            alice_frame, llr,
+            scalar_bundle([], [primary, secondary, threshold]),
         )
 
     return trial
