@@ -65,6 +65,13 @@ MAX_TILES = 4
 # is WRONG with this on; never set it outside perf probes.
 _PROFILE_SKIP_PERMUTE = False
 
+# i8x4 transport quantization step (module-level so probes can sweep it;
+# baked into the kernel at build time). 0.125 saturates at +-7.875 —
+# ~2.3x the channel LLR at QBER 0.03. Aggressive saturation with fine
+# quantization converges closest to f32 (measured: +10% iterations vs
+# +25% at step 0.25/0.375) — the classic hardware-decoder regime.
+_I8_STEP = 0.125
+
 
 @dataclass(frozen=True)
 class NodeSide:
@@ -255,7 +262,7 @@ def _build(
     batch_tile: int,
     interpret: bool,
     mode: str,  # "decode" | "trial" | "mc" | "frame"
-    transport: str = "bf16x2",  # "bf16x2" | "f32"
+    transport: str = "bf16x2",  # "bf16x2" | "f32" | "i8x4"
 ):
     plan = plan_for(matrix)
     dtype = jnp.dtype(jnp.float32)
@@ -268,19 +275,27 @@ def _build(
     adaptive = algorithm.is_adaptive
     spa = algorithm in (DecodingAlgorithm.SPA, DecodingAlgorithm.SPA_APPROX)
     pack = not spa  # min-sum family: decisions ride the message LSB
-    # bf16x2 transport (min-sum family only): each f32 word of the edge-space
-    # buffers carries TWO frames' messages as bf16 halves (frame t in the
-    # high 16 bits — bf16 is exactly f32's top half — and frame t + tb/2 in
-    # the low 16). Every permute stage (84% of the iteration body) then
-    # moves two frames per op. SPA keeps f32 transport: its tanh products
-    # need the mantissa.
-    packed = transport == "bf16x2" and not spa
-    if transport not in ("bf16x2", "f32"):
+    # Packed transports (min-sum family only): each f32 word of the
+    # edge-space buffers carries several frames' messages, so every permute
+    # stage (the dominant share of the iteration body — measured 70% at
+    # bf16x2) moves that many frames per op. SPA always uses f32 transport:
+    # its tanh products need the mantissa.
+    #   * bf16x2 — two frames as bf16 halves (frame t in the high 16 bits;
+    #     bf16 is exactly f32's top half, so packing is a mask and
+    #     unpacking a shift).
+    #   * i8x4 — four frames as quantized bytes: a 7-bit signed fixed-point
+    #     message (step I8_STEP, saturating at +-63*I8_STEP) in bits 7..1
+    #     and the decision bit in bit 0 of each byte. 6-bit-magnitude
+    #     min-sum is standard hardware-decoder practice; the quantizer is
+    #     shared by both passes so min1/|m| tie comparisons stay exact.
+    if transport not in ("bf16x2", "f32", "i8x4"):
         raise ValueError(f"unknown transport {transport!r}")
-    if packed and tb % 2:
-        raise ValueError("bf16x2 transport needs an even batch_tile")
-    tp = tb // 2 if packed else tb  # leading dim of edge-space buffers
-    halves = 2 if packed else 1
+    halves = {"f32": 1, "bf16x2": 2, "i8x4": 4}[transport] if not spa else 1
+    if tb % halves:
+        raise ValueError(
+            f"{transport} transport needs batch_tile % {halves} == 0"
+        )
+    tp = tb // halves  # leading dim of edge-space buffers
     if algorithm == DecodingAlgorithm.SPA:
         tanh_fn = jnp.tanh
         atanh_fn = lambda x: 0.5 * jnp.log((1.0 + x) / (1.0 - x))  # noqa: E731
@@ -302,42 +317,70 @@ def _build(
     def _f32(x):
         return jax.lax.bitcast_convert_type(x, dtype)
 
+    I8_STEP = _I8_STEP
+    I8_INV = 1.0 / I8_STEP
+
+    def _quant(x):
+        """f32 -> saturating 7-bit signed quantizer (i8x4 transport)."""
+        return jnp.clip(jnp.round(x * I8_INV), -63.0, 63.0).astype(jnp.int32)
+
     def unpack(w, h):
-        """bf16 half h of packed word w, as exact f32. h=0: frames [0,tp);
-        h=1: frames [tp, tb). Identity when unpacked."""
-        if not packed:
+        """Transport part h of packed word w, as f32. Part h holds frames
+        [h*tp, (h+1)*tp). Identity when unpacked."""
+        if halves == 1:
             return w
         wi = _i32(w)
-        return _f32((wi & MASK_HI) if h == 0 else (wi << 16))
+        if transport == "bf16x2":
+            return _f32((wi & MASK_HI) if h == 0 else (wi << 16))
+        # i8x4: sign-extend bits [8h+1, 8h+8) (bit 8h is the decision).
+        q = (wi << (24 - 8 * h)) >> 25
+        return q.astype(dtype) * I8_STEP
 
-    def pack2(a, b):
-        """Two f32 slabs -> packed word (mantissa-truncating bf16 round;
-        truncation only ever shrinks magnitudes)."""
-        if not packed:
-            return a
-        return _f32((_i32(a) & MASK_HI) | ((_i32(b) >> 16) & 0xFFFF))
+    def pack_frames(vals):
+        """n transport-part f32 slabs -> one packed word (decision LSBs
+        zero). bf16 packing is mantissa truncation (only ever shrinks
+        magnitudes); i8x4 is round-to-nearest fixed point."""
+        if halves == 1:
+            return vals[0]
+        if transport == "bf16x2":
+            return _f32(
+                (_i32(vals[0]) & MASK_HI) | ((_i32(vals[1]) >> 16) & 0xFFFF)
+            )
+        w = (_quant(vals[0]) << 1) & 0xFF
+        for h in range(1, 4):
+            w = w | (((_quant(vals[h]) << 1) & 0xFF) << (8 * h))
+        return _f32(w)
 
-    def pack2_dec(a, b, da, db):
-        """pack2 with the decision bit written into each bf16 half's LSB."""
-        if not packed:
-            vi = (_i32(a) & ~1) | da
-            return _f32(vi)
-        w = (_i32(a) & MASK_HI_NOLSB) | (da << 16)
-        w = w | ((_i32(b) >> 16) & 0xFFFE) | db
+    def pack_frames_dec(vals, decs):
+        """pack_frames with each part's decision bit in its LSB."""
+        if halves == 1:
+            return _f32((_i32(vals[0]) & ~1) | decs[0])
+        if transport == "bf16x2":
+            w = (_i32(vals[0]) & MASK_HI_NOLSB) | (decs[0] << 16)
+            w = w | ((_i32(vals[1]) >> 16) & 0xFFFE) | decs[1]
+            return _f32(w)
+        w = ((_quant(vals[0]) << 1) & 0xFE) | decs[0]
+        for h in range(1, 4):
+            w = w | ((((_quant(vals[h]) << 1) & 0xFE) | decs[h]) << (8 * h))
         return _f32(w)
 
     def packed_from_frames(v):
         """[tb, rows, 128] per-frame f32 -> [tp, rows, 128] transport word."""
-        if not packed:
+        if halves == 1:
             return v
-        return pack2(v[:tp], v[tp:])
+        return pack_frames([v[hrows(h)] for h in range(halves)])
 
     def full_word(rows_count, value: float):
         """Transport-layout constant slab holding `value` in every frame."""
-        if not packed:
+        if halves == 1:
             return jnp.full((tp, rows_count, LANES), value, dtype)
-        hi = int(np.float32(value).view(np.int32)) & 0xFFFF0000
-        w = np.int32(np.uint32(hi | (hi >> 16)))
+        if transport == "bf16x2":
+            hi = int(np.float32(value).view(np.int32)) & 0xFFFF0000
+            w = np.int32(np.uint32(hi | (hi >> 16)))
+        else:
+            q = int(np.clip(np.round(value * I8_INV), -63, 63))
+            b = (q << 1) & 0xFF
+            w = np.int32(np.uint32(b * 0x01010101))
         return _f32(jnp.full((tp, rows_count, LANES), w, jnp.int32))
 
     def hrows(h):
@@ -544,10 +587,10 @@ def _build(
                 v = llr_slab(noff, blocks)
                 if pack:
                     dg = dec[:, noff:noff + blocks, :]
-                    if packed:
-                        w = pack2_dec(v[:tp], v[tp:], dg[:tp], dg[tp:])
-                    else:
-                        w = pack2_dec(v, None, dg, None)
+                    w = pack_frames_dec(
+                        [v[hrows(h)] for h in range(halves)],
+                        [dg[hrows(h)] for h in range(halves)],
+                    )
                 else:
                     w = packed_from_frames(v)
                 for s in range(d):
@@ -575,8 +618,10 @@ def _build(
                 vi = jax.lax.bitcast_convert_type(
                     msg[:, row_start:row_start + blocks, :], jnp.int32
                 )
-                if packed and h == 0:
-                    return (vi >> 16) & 1
+                if transport == "bf16x2":
+                    return ((vi >> 16) & 1) if h == 0 else (vi & 1)
+                if transport == "i8x4":
+                    return (vi >> (8 * h)) & 1
                 return vi & 1
             return (
                 ping[:, row_start:row_start + blocks, :] > 0.5
@@ -668,9 +713,7 @@ def _build(
                         news.append(clamp(val.astype(dtype), threshold))
                     outs.append(news)
                 for s in range(d):
-                    w = (
-                        pack2(outs[0][s], outs[1][s]) if packed else outs[0][s]
-                    )
+                    w = pack_frames([outs[h][s] for h in range(halves)])
                     msg[:, eoff + s * blocks : eoff + (s + 1) * blocks, :] = w
 
         def bit_pass():
@@ -693,13 +736,11 @@ def _build(
                         ([clamp(total - e, threshold) for e in es], dg)
                     )
                 for t in range(d):
-                    if packed:
-                        w = pack2_dec(
-                            vals[0][0][t], vals[1][0][t],
-                            vals[0][1], vals[1][1],
+                    if pack:
+                        w = pack_frames_dec(
+                            [vals[h][0][t] for h in range(halves)],
+                            [vals[h][1] for h in range(halves)],
                         )
-                    elif pack:
-                        w = pack2_dec(vals[0][0][t], None, vals[0][1], None)
                     else:
                         w = vals[0][0][t]
                     pong[:, eoff + t * blocks : eoff + (t + 1) * blocks, :] = w
@@ -943,8 +984,10 @@ def make_pallas_generic_decoder(
     """Fused decode kernel for arbitrary sparse H. Same call signature as
     ops/decoders.make_decoder; float32 only. ``transport`` selects the
     in-VMEM message transport: "bf16x2" (default; two frames per f32 word
-    through the regroup pipeline — fastest, bf16-rounded messages) or
-    "f32" (full-precision transport). SPA always uses f32 transport."""
+    through the regroup pipeline, bf16-rounded messages), "i8x4" (four
+    frames per word, saturating 7-bit fixed-point messages — fastest;
+    hardware-decoder-style quantized min-sum) or "f32" (full-precision
+    transport). SPA always uses f32 transport."""
     if jnp.dtype(dtype) != jnp.float32:
         raise ValueError("pallas generic decoder is float32-only")
     call, plan, fdtype, tb = _build(

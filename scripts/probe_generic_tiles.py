@@ -34,6 +34,8 @@ def main() -> int:
     p.add_argument("--qber", type=float, default=0.03)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--alg", default="NMSA")
+    p.add_argument("--transport", default="bf16x2")
+    p.add_argument("--i8step", type=float, default=None)
     p.add_argument("--matrix", default=str(MATRIX))
     args = p.parse_args()
 
@@ -42,9 +44,13 @@ def main() -> int:
 
     from qkd_ldpc_v_tpu.config import DecodingAlgorithm
     from qkd_ldpc_v_tpu.models.hmatrix import read_sparse_matrix_alist
+    import qkd_ldpc_v_tpu.ops.pallas_generic as pg
     from qkd_ldpc_v_tpu.ops.pallas_generic import (
         make_pallas_generic_montecarlo,
     )
+
+    if args.i8step is not None:
+        pg._I8_STEP = args.i8step
     from qkd_ldpc_v_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -61,6 +67,7 @@ def main() -> int:
         try:
             mc = make_pallas_generic_montecarlo(
                 matrix, alg, 100, False, batch=args.batch, batch_tile=tile,
+                transport=args.transport,
             )
         except ValueError as e:
             print(f"tile {tile}: infeasible ({e})", file=sys.stderr)
@@ -86,7 +93,7 @@ def main() -> int:
         ok = np.asarray(conv) & np.asarray(keys)
         fer = 1 - ok.mean()
         print(
-            f"tile {tile}: {args.batch / best:.0f} frames/s "
+            f"tile {tile} {args.transport}: {args.batch / best:.0f} frames/s "
             f"(best of {args.reps}; {best * 1e3:.1f} ms/batch, "
             f"compile+first {compile_s:.1f}s) FER={fer:.4f} "
             f"mean_iters={np.asarray(iters)[np.asarray(conv)].mean():.1f}",

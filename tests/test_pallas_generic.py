@@ -297,6 +297,43 @@ def test_bf16x2_transport_decodes(medium_matrix, algorithm, primary,
     ).max() <= 4
 
 
+@pytest.mark.parametrize("algorithm,primary,secondary", [
+    (DecodingAlgorithm.NMSA, 0.8, 1.0),
+    (DecodingAlgorithm.AOMSA, 0.3, 0.6),
+])
+def test_i8x4_transport_decodes(medium_matrix, algorithm, primary,
+                                secondary):
+    """Experimental quantized transport (four frames per f32 word as 7-bit
+    saturating fixed point). Below threshold it must still decode every
+    frame to Alice's key; quantization slows convergence, so the iteration
+    window is wider than bf16x2's. NOT the production default: at the
+    reference 10k matrix's near-threshold operating point the quantization
+    noise collapses FER (measured 0.18 vs 0.0024 at QBER 0.03) — see
+    docs/KERNEL.md."""
+    alice, bob, llr, syn = channel_case(medium_matrix, 8, 0.02, 23)
+    exact = jax.jit(
+        make_pallas_generic_decoder(
+            medium_matrix, algorithm, 40, False,
+            batch_tile=8, interpret=True, transport="f32",
+        )
+    )
+    fast = jax.jit(
+        make_pallas_generic_decoder(
+            medium_matrix, algorithm, 40, False,
+            batch_tile=8, interpret=True, transport="i8x4",
+        )
+    )
+    re_ = exact(llr, syn, primary, secondary, 0.0)
+    rf = fast(llr, syn, primary, secondary, 0.0)
+    assert np.asarray(rf.syndromes_match).all()
+    np.testing.assert_array_equal(
+        np.asarray(rf.decision), np.asarray(alice)
+    )
+    assert np.abs(
+        np.asarray(rf.iterations) - np.asarray(re_.iterations)
+    ).max() <= 12
+
+
 def test_bf16x2_trial_matches_decode(medium_matrix):
     """Packed trial kernel must agree with the packed decode kernel on the
     same channel realization (same transport, same trajectories)."""
