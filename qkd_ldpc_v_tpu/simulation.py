@@ -347,7 +347,21 @@ def _build_step(
         from qkd_ldpc_v_tpu.ops.pallas_generic import generic_plan_feasible
 
         generic_active = generic_plan_feasible(matrix)
-    pallas_active = qc_active or generic_active
+    stream_active = False
+    if (
+        use_pallas
+        and not qc_active
+        and not generic_active
+        and dtype == jnp.float32
+        and algorithm
+        not in (DecodingAlgorithm.SPA, DecodingAlgorithm.SPA_APPROX)
+    ):
+        # Giant frames (e.g. the reference's N=102400 suite) whose edge
+        # state exceeds VMEM stream HBM-resident blocks instead.
+        from qkd_ldpc_v_tpu.ops.pallas_stream import stream_feasible
+
+        stream_active = stream_feasible(matrix)
+    pallas_active = qc_active or generic_active or stream_active
     if qc_active:
         from qkd_ldpc_v_tpu.ops import pallas_qc as _pk
 
@@ -372,11 +386,22 @@ def _build_step(
         mk_frame = lambda *a, **k: _pg.make_pallas_generic_frame_trial(  # noqa: E731
             matrix, *a, **k
         )
+    elif stream_active:
+        from qkd_ldpc_v_tpu.ops import pallas_stream as _ps
+
+        # No in-kernel Monte-Carlo (keys stream from the host) and no fused
+        # frame kernel: rate adaptation builds frames in XLA and decodes via
+        # the streaming library decoder (decode_tail below).
+        mk_mc = None
+        mk_trial = lambda *a, **k: _ps.make_pallas_stream_trial(  # noqa: E731
+            matrix, *a, **k
+        )
+        mk_frame = None
     interpret = jax.default_backend() == "cpu"
     trial_kernel = None
     mc_kernel = None
     if pallas_active and not rate_adaptive:
-        if not interpret and select_size <= 0:
+        if not stream_active and not interpret and select_size <= 0:
             # Fastest path: PRNG, channel, decode, and statistics entirely
             # in-kernel (TPU only — the hardware PRNG has no CPU interpret).
             mc_kernel = mk_mc(
@@ -389,17 +414,28 @@ def _build_step(
             )
         decode = None
     elif pallas_active:
-        # Rate-adaptive: frames/LLRs are built in XLA (host-chosen puncture
-        # and shorten positions), but syndrome, decode, and key comparison
-        # stay fused in VMEM.
-        frame_kernel = mk_frame(
-            algorithm, max_iterations, use_threshold, interpret=interpret,
-        )
+        if mk_frame is None:  # streaming: XLA frames + streaming decode
+            from qkd_ldpc_v_tpu.ops import pallas_stream as _ps
 
-        def decode_frames(llr_ext, alice_frame, primary, secondary, threshold):
-            return frame_kernel(alice_frame, llr_ext, primary, secondary, threshold)
+            decode = _ps.make_pallas_stream_decoder(
+                matrix, algorithm, max_iterations, use_threshold,
+                interpret=interpret,
+            )
+        else:
+            # Rate-adaptive: frames/LLRs are built in XLA (host-chosen
+            # puncture and shorten positions), but syndrome, decode, and key
+            # comparison stay fused in VMEM.
+            frame_kernel = mk_frame(
+                algorithm, max_iterations, use_threshold, interpret=interpret,
+            )
 
-        decode = None
+            def decode_frames(llr_ext, alice_frame, primary, secondary,
+                              threshold):
+                return frame_kernel(
+                    alice_frame, llr_ext, primary, secondary, threshold
+                )
+
+            decode = None
     else:
         decode = get_decoder(
             layout, algorithm, max_iterations, use_threshold, dtype=dtype,

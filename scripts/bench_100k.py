@@ -1,12 +1,13 @@
 """Measure N=102400 decode throughput on the real TPU (BASELINE.md entry).
 
 The reference's largest production suite is matrices_alist_100k_all
-(18 matrices, CW=3). The fused Pallas kernels gate out at this size, so the
-full driver path runs the generic XLA decoder with two-phase straggler
-re-decode. Usage:
+(18 matrices, CW=3). The fused (VMEM-resident) Pallas kernels gate out at
+this size; with --pallas=1 (default) the driver picks the streaming
+HBM-resident kernel (ops/pallas_stream.py), with --pallas=0 the generic
+XLA decoder with two-phase straggler re-decode. Usage:
 
     python scripts/bench_100k.py [batch] [trials] [--dtype=float32|bfloat16]
-                                 [--alpha=0.8] [--matrix=path]
+                                 [--alpha=0.8] [--matrix=path] [--pallas=0|1]
 """
 
 import sys
@@ -48,8 +49,9 @@ def main() -> int:
     dtype = opts.get("dtype", "float32")
     alpha = float(opts.get("alpha", ALPHA))
     matrix_path = Path(opts.get("matrix", MATRIX))
+    use_pallas = opts.get("pallas", "1") not in ("0", "false")
     print(f"device: {jax.devices()[0]} dtype={dtype} alpha={alpha} "
-          f"batch={batch}", file=sys.stderr)
+          f"batch={batch} pallas={use_pallas}", file=sys.stderr)
     matrix = read_sparse_matrix_alist(matrix_path)
 
     def cfg(n):
@@ -61,6 +63,7 @@ def main() -> int:
             r_qber_ranges=(RQBERRange(0.99, QBER, QBER, 0.01),),
             batch_size=batch,
             dtype=dtype,
+            use_pallas=use_pallas,
         )
 
     comb = SimCombination(QBER, HMatrixParams(), ScalingFactors(primary=alpha))
