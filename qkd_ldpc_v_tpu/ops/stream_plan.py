@@ -199,9 +199,13 @@ def build_stream_plan(matrix: HMatrix, cap_rows: int = 256) -> StreamPlan:
         np.arange(len(r), dtype=np.int64) for r in matrix.check_nodes
     ])
     # slot of edge on the bit side: rank of the check in the bit's sorted row
+    # (bit_nodes rows are ascending, so rank = position among the bit's edges
+    # ordered by check id)
+    order = np.lexsort((check_ids, bit_ids))
+    counts = np.bincount(bit_ids, minlength=matrix.num_bit_nodes)
+    starts = np.concatenate([[0], np.cumsum(counts)])
     bit_slot = np.empty(len(bit_ids), dtype=np.int64)
-    for e, (i, j) in enumerate(zip(bit_ids, check_ids)):
-        bit_slot[e] = int(np.searchsorted(matrix.bit_nodes[i], j))
+    bit_slot[order] = np.arange(len(bit_ids)) - starts[bit_ids[order]]
 
     cblk, cpos = _block_pos(checks, check_ids, check_slot)
     bblk, bpos = _block_pos(bits, bit_ids, bit_slot)
