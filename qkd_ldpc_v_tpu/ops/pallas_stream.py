@@ -61,6 +61,12 @@ from qkd_ldpc_v_tpu.ops.stream_plan import (
 # Check-side pad neutral: the largest finite f32 with an even mantissa —
 # never the row minimum, sign +1, decision LSB 0.
 _MINNEUT = np.int32(np.uint32(0x7F7FFFFE))
+# bf16x2 packed transport (two frames per f32 word, mirroring
+# ops/pallas_generic.py): per-half neutral = largest finite bf16 with an
+# even mantissa (0x7F7E) in both halves.
+_MINNEUT2 = np.int32(np.uint32(0x7F7E7F7E))
+_MASK_HI = -65536  # 0xFFFF0000: high bf16 half
+_MASK_HI_NOLSB = -131072  # 0xFFFE0000
 
 
 def _stack(plans, attr):
@@ -106,18 +112,71 @@ def _build(
     batch_tile: int,
     interpret: bool,
     mode: str,  # "decode" | "trial"
-    cap_rows: int = 256,
+    cap_rows: int = 512,
+    transport: str = "bf16x2",  # "bf16x2" | "f32"
 ):
     if algorithm in (DecodingAlgorithm.SPA, DecodingAlgorithm.SPA_APPROX):
         raise ValueError("streaming decoder: min-sum family only")
+    if transport not in ("bf16x2", "f32"):
+        raise ValueError(f"unknown transport {transport!r}")
+    halves = 2 if transport == "bf16x2" else 1
+    if batch_tile % halves:
+        raise ValueError(f"{transport} transport needs batch_tile % {halves}"
+                         " == 0")
     plan = stream_plan_for(matrix, cap_rows)
     tb = batch_tile
+    tp = tb // halves  # leading dim of packed edge-space buffers
     dtype = jnp.dtype(jnp.float32)
     big = jnp.finfo(dtype).max
     adaptive = algorithm.is_adaptive
     bits, checks = plan.bits, plan.checks
     kb_b, kb_c = bits.kb, checks.kb
     ch_bm, ch_cm = plan.to_bm.chunk_rows, plan.to_cm.chunk_rows
+
+    # --- packed-transport helpers (bf16 is exactly f32's top half) -------
+
+    def _i32(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+    def _f32(x):
+        return jax.lax.bitcast_convert_type(x, dtype)
+
+    def hrows(h):
+        """Frame-row slice of transport half h in per-frame [tb, ...] data."""
+        return slice(h * tp, (h + 1) * tp)
+
+    def unpack(w, h):
+        """Transport half h of packed word w, as f32 (identity at f32)."""
+        if halves == 1:
+            return w
+        wi = _i32(w)
+        return _f32((wi & _MASK_HI) if h == 0 else (wi << 16))
+
+    def lsb(w, h):
+        """Decision bit of transport half h (int32 0/1)."""
+        wi = _i32(w)
+        if halves == 1:
+            return wi & 1
+        return ((wi >> 16) & 1) if h == 0 else (wi & 1)
+
+    def pack(vals):
+        """Per-half f32 slabs -> packed word (identity at f32 — check-side
+        LSBs are never read, so no ulp is spent zeroing them)."""
+        if halves == 1:
+            return vals[0]
+        return _f32(
+            (_i32(vals[0]) & _MASK_HI) | ((_i32(vals[1]) >> 16) & 0xFFFE)
+        )
+
+    def pack_dec(vals, decs):
+        """pack() with each half's decision bit in its LSB."""
+        if halves == 1:
+            return _f32((_i32(vals[0]) & ~1) | decs[0])
+        w = (_i32(vals[0]) & _MASK_HI_NOLSB) | (decs[0] << 16)
+        w = w | ((_i32(vals[1]) >> 16) & 0xFFFE) | decs[1]
+        return _f32(w)
+
+    NEUT = _MINNEUT if halves == 1 else _MINNEUT2
 
     bm_p1_t, bm_p2_t = _dir_tables(plan.to_bm)
     cm_p1_t, cm_p2_t = _dir_tables(plan.to_cm)
@@ -130,7 +189,7 @@ def _build(
     def _neut_fill(buf, lo, hi, word):
         if hi > lo:
             buf[:, lo:hi, :] = jax.lax.bitcast_convert_type(
-                jnp.full((tb, hi - lo, LANES), word, jnp.int32), dtype
+                jnp.full((tp, hi - lo, LANES), word, jnp.int32), dtype
             )
 
     def permute(tabs, a, b, r):
@@ -140,7 +199,7 @@ def _build(
         tn = r // LANES
 
         def lane_gather(src, dst, idx):
-            for t in range(tb):
+            for t in range(tp):
                 dst[t, 0:r, :] = jnp.take_along_axis(
                     src[t, 0:r, :], idx[0], axis=1
                 )
@@ -189,56 +248,66 @@ def _build(
         # Assemble staged chunks (src bit blocks) into P2_cm's input space.
         for s in range(kb_b):
             x0[:, s * ch_cm:(s + 1) * ch_cm, :] = staged_in[s, 0]
-        _neut_fill(x0, kb_b * ch_cm, r_a, _MINNEUT)
+        _neut_fill(x0, kb_b * ch_cm, r_a, NEUT)
         permute(p2_tabs, x0, x1, plan.to_cm.r2)
         if plan.to_cm.r2 < r_a:
-            _neut_fill(x1, plan.to_cm.r2, r_a, _MINNEUT)
+            _neut_fill(x1, plan.to_cm.r2, r_a, NEUT)
 
         def slab(s):
             return x1[:, s * l_c:(s + 1) * l_c, :]
 
-        # Decision syndrome from the message LSBs (pad slots have LSB 0).
-        par = None
-        for s in range(dmax):
-            b = jax.lax.bitcast_convert_type(slab(s), jnp.int32) & 1
-            par = b if par is None else par ^ b
-        mism = par ^ syn_ref[0]
-        mism_ref[0] = jnp.sum(
-            jnp.sum(mism, axis=2, keepdims=True), axis=1
-        )
+        words = [slab(s) for s in range(dmax)]
+        out_vals = []  # per half: per-slot new check->bit messages
+        for h in range(halves):
+            # Decision syndrome from the per-half message LSBs (pad slots
+            # have LSB 0).
+            syn_h = syn_ref[0][hrows(h)]
+            par = None
+            for w in words:
+                b = lsb(w, h)
+                par = b if par is None else par ^ b
+            mism = par ^ syn_h
+            mism_ref[0, hrows(h)] = jnp.sum(
+                jnp.sum(mism, axis=2, keepdims=True), axis=1
+            )
 
-        msgs = [slab(s) for s in range(dmax)]
-        ss = jnp.where(syn_ref[0] == 1, -1.0, 1.0).astype(dtype)
-        a_ = [jnp.abs(m) for m in msgs]
-        min1 = a_[0]
-        min2 = jnp.full_like(min1, big)
-        for ai in a_[1:]:
-            min2 = jnp.minimum(min2, jnp.maximum(min1, ai))
-            min1 = jnp.minimum(min1, ai)
-        neg = None
-        for m in msgs:
-            b = (m < 0).astype(jnp.int32)
-            neg = b if neg is None else neg + b
-        row_sign = ss * jnp.where(neg % 2 == 0, 1.0, -1.0).astype(dtype)
-        if adaptive:
-            f = jnp.where(mism != 0, secondary, primary).astype(dtype)
-        else:
-            f = primary
+            msgs = [unpack(w, h) for w in words]
+            ss = jnp.where(syn_h == 1, -1.0, 1.0).astype(dtype)
+            a_ = [jnp.abs(m) for m in msgs]
+            min1 = a_[0]
+            min2 = jnp.full_like(min1, big)
+            for ai in a_[1:]:
+                min2 = jnp.minimum(min2, jnp.maximum(min1, ai))
+                min1 = jnp.minimum(min1, ai)
+            neg = None
+            for m in msgs:
+                b = (m < 0).astype(jnp.int32)
+                neg = b if neg is None else neg + b
+            row_sign = ss * jnp.where(neg % 2 == 0, 1.0, -1.0).astype(dtype)
+            if adaptive:
+                f = jnp.where(mism != 0, secondary, primary).astype(dtype)
+            else:
+                f = primary
+            vals = []
+            for s in range(dmax):
+                m, ai = msgs[s], a_[s]
+                excl = jnp.where(m > 0, 1.0, -1.0).astype(dtype)
+                eabs = jnp.where(ai == min1, min2, min1)
+                if algorithm in (DecodingAlgorithm.NMSA,
+                                 DecodingAlgorithm.ANMSA):
+                    val = f * row_sign * excl * eabs
+                else:  # OMSA / AOMSA: offset, clamp at zero
+                    val = row_sign * excl * jnp.maximum(eabs - f, 0.0)
+                vals.append(clamp(val.astype(dtype), threshold))
+            out_vals.append(vals)
+        deg = deg_ref[0][None]
         for s in range(dmax):
-            m, ai = msgs[s], a_[s]
-            excl = jnp.where(m > 0, 1.0, -1.0).astype(dtype)
-            eabs = jnp.where(ai == min1, min2, min1)
-            if algorithm in (DecodingAlgorithm.NMSA, DecodingAlgorithm.ANMSA):
-                val = f * row_sign * excl * eabs
-            else:  # OMSA / AOMSA: offset, clamp at zero
-                val = row_sign * excl * jnp.maximum(eabs - f, 0.0)
-            val = clamp(val.astype(dtype), threshold)
-            # bit-side pad slots must arrive sum-neutral
-            val = jnp.where(s < deg_ref[0][None], val, 0.0)
-            x0[:, s * l_c:(s + 1) * l_c, :] = val
+            w = pack([out_vals[h][s] for h in range(halves)])
+            # bit-side pad slots must arrive sum-neutral (0.0 both halves)
+            x0[:, s * l_c:(s + 1) * l_c, :] = jnp.where(s < deg, w, 0.0)
         if checks.rows_blk < plan.to_bm.r1:
             x0[:, checks.rows_blk:plan.to_bm.r1, :] = jnp.zeros(
-                (tb, plan.to_bm.r1 - checks.rows_blk, LANES), dtype
+                (tp, plan.to_bm.r1 - checks.rows_blk, LANES), dtype
             )
         permute(p1_tabs, x0, x1, plan.to_bm.r1)
         for d in range(kb_b):
@@ -264,41 +333,48 @@ def _build(
             x0[:, s * ch_bm:(s + 1) * ch_bm, :] = staged_in[s, 0]
         if kb_c * ch_bm < r_b:
             x0[:, kb_c * ch_bm:r_b, :] = jnp.zeros(
-                (tb, r_b - kb_c * ch_bm, LANES), dtype
+                (tp, r_b - kb_c * ch_bm, LANES), dtype
             )
         permute(p2_tabs, x0, x1, plan.to_bm.r2)
 
         def slab(s):
             return x1[:, s * l_b:(s + 1) * l_b, :]
 
-        es = [slab(s) for s in range(dmax)]
-        total = llr_ref[0]
-        for e in es:
-            total = total + e
-        dec = (total <= 0).astype(jnp.int32)
+        words = [slab(s) for s in range(dmax)]
         valid = (deg_ref[0] > 0).astype(jnp.int32)[None]
+        out_per_half = []
+        dec_per_half = []
+        for h in range(halves):
+            es = [unpack(w, h) for w in words]
+            total = llr_ref[0][hrows(h)]
+            for e in es:
+                total = total + e
+            dec = (total <= 0).astype(jnp.int32)
+            dec_per_half.append(dec)
+            if mode == "decode":
+                dec_ref[0, hrows(h)] = dec
+            else:
+                diff = (dec != alice_ref[0][hrows(h)]).astype(jnp.int32) \
+                    * valid
+                km_ref[0, hrows(h)] = jnp.sum(
+                    jnp.sum(diff, axis=2, keepdims=True), axis=1
+                )
+            out_per_half.append(
+                [clamp(total - es[s], threshold) for s in range(dmax)]
+            )
         if mode == "decode":
-            dec_ref[0] = dec
             km_ref[0] = jnp.zeros((tb, 1), jnp.int32)
-        else:
-            diff = (dec != alice_ref[0]).astype(jnp.int32) * valid
-            km_ref[0] = jnp.sum(
-                jnp.sum(diff, axis=2, keepdims=True), axis=1
-            )
+        deg = deg_ref[0][None]
+        neutw = jax.lax.bitcast_convert_type(
+            jnp.full((tp, l_b, LANES), NEUT, jnp.int32), dtype
+        )
         for s in range(dmax):
-            val = clamp(total - es[s], threshold)
-            vi = (jax.lax.bitcast_convert_type(val, jnp.int32) & ~1) | dec
-            w = jax.lax.bitcast_convert_type(vi, dtype)
-            w = jnp.where(
-                s < deg_ref[0][None],
-                w,
-                jax.lax.bitcast_convert_type(
-                    jnp.full(w.shape, _MINNEUT, jnp.int32), dtype
-                ),
+            w = pack_dec(
+                [out_per_half[h][s] for h in range(halves)], dec_per_half
             )
-            x0[:, s * l_b:(s + 1) * l_b, :] = w
+            x0[:, s * l_b:(s + 1) * l_b, :] = jnp.where(s < deg, w, neutw)
         if bits.rows_blk < plan.to_cm.r1:
-            _neut_fill(x0, bits.rows_blk, plan.to_cm.r1, _MINNEUT)
+            _neut_fill(x0, bits.rows_blk, plan.to_cm.r1, NEUT)
         permute(p1_tabs, x0, x1, plan.to_cm.r1)
         for d in range(kb_c):
             out_ref[0, d] = x1[:, d * ch_cm:(d + 1) * ch_cm, :]
@@ -316,33 +392,32 @@ def _build(
         else:
             out_ref, x0, x1 = rest
         l_b, dmax = bits.l_blk, bits.dmax
-        llr = llr_ref[0]
-        dec = (llr <= 0).astype(jnp.int32)
+        llrs = [llr_ref[0][hrows(h)] for h in range(halves)]
+        decs = [(llr <= 0).astype(jnp.int32) for llr in llrs]
+        w0 = pack_dec(llrs, decs)
+        deg = deg_ref[0][None]
+        neutw = jax.lax.bitcast_convert_type(
+            jnp.full((tp, l_b, LANES), NEUT, jnp.int32), dtype
+        )
         for s in range(dmax):
-            vi = (jax.lax.bitcast_convert_type(llr, jnp.int32) & ~1) | dec
-            w = jax.lax.bitcast_convert_type(vi, dtype)
-            w = jnp.where(
-                s < deg_ref[0][None],
-                w,
-                jax.lax.bitcast_convert_type(
-                    jnp.full(w.shape, _MINNEUT, jnp.int32), dtype
-                ),
-            )
-            x0[:, s * l_b:(s + 1) * l_b, :] = w
+            x0[:, s * l_b:(s + 1) * l_b, :] = jnp.where(s < deg, w0, neutw)
         if bits.rows_blk < plan.to_cm.r1:
-            _neut_fill(x0, bits.rows_blk, plan.to_cm.r1, _MINNEUT)
+            _neut_fill(x0, bits.rows_blk, plan.to_cm.r1, NEUT)
         permute(p1_tabs, x0, x1, plan.to_cm.r1)
         for d in range(kb_c):
             out_ref[0, d] = x1[:, d * ch_cm:(d + 1) * ch_cm, :]
         if mode == "trial":
-            av = alice_ref[0].astype(dtype)
+            # Alice bits as exact small f32s (0.0 / 1.0 are exact in bf16).
+            av = pack([
+                alice_ref[0][hrows(h)].astype(dtype) for h in range(halves)
+            ])
             for s in range(dmax):
                 x0[:, s * l_b:(s + 1) * l_b, :] = jnp.where(
-                    s < deg_ref[0][None], av, 0.0
+                    s < deg, av, 0.0
                 )
             if bits.rows_blk < plan.to_cm.r1:
                 x0[:, bits.rows_blk:plan.to_cm.r1, :] = jnp.zeros(
-                    (tb, plan.to_cm.r1 - bits.rows_blk, LANES), dtype
+                    (tp, plan.to_cm.r1 - bits.rows_blk, LANES), dtype
                 )
             permute(p1_tabs, x0, x1, plan.to_cm.r1)
             for d in range(kb_c):
@@ -361,14 +436,17 @@ def _build(
             x0[:, s * ch_cm:(s + 1) * ch_cm, :] = staged_in[s, 0]
         if kb_b * ch_cm < r_a:
             x0[:, kb_b * ch_cm:r_a, :] = jnp.zeros(
-                (tb, r_a - kb_b * ch_cm, LANES), dtype
+                (tp, r_a - kb_b * ch_cm, LANES), dtype
             )
         permute(p2_tabs, x0, x1, plan.to_cm.r2)
-        par = None
-        for s in range(dmax):
-            b = (x1[:, s * l_c:(s + 1) * l_c, :] > 0.5).astype(jnp.int32)
-            par = b if par is None else par ^ b
-        syn_ref[0] = par
+        for h in range(halves):
+            par = None
+            for s in range(dmax):
+                b = (
+                    unpack(x1[:, s * l_c:(s + 1) * l_c, :], h) > 0.5
+                ).astype(jnp.int32)
+                par = b if par is None else par ^ b
+            syn_ref[0, hrows(h)] = par
 
     # ------------------------------------------------------------------
     # pallas_call plumbing
@@ -378,17 +456,17 @@ def _build(
                                memory_space=pltpu.SMEM)
 
     def staged_shape(kb_src, kb_dst, chunk):
-        return (kb_src, kb_dst, tb, chunk, LANES)
+        return (kb_src, kb_dst, tp, chunk, LANES)
 
     def staged_in_spec(kb_src, kb_dst, chunk):
         return pl.BlockSpec(
-            (kb_src, 1, tb, chunk, LANES), lambda k: (0, k, 0, 0, 0),
+            (kb_src, 1, tp, chunk, LANES), lambda k: (0, k, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     def staged_out_spec(kb_src, kb_dst, chunk):
         return pl.BlockSpec(
-            (1, kb_dst, tb, chunk, LANES), lambda k: (k, 0, 0, 0, 0),
+            (1, kb_dst, tp, chunk, LANES), lambda k: (k, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -412,7 +490,7 @@ def _build(
     f32 = jnp.float32
 
     def scratch(rows):
-        return pltpu.VMEM((tb, rows, LANES), dtype)
+        return pltpu.VMEM((tp, rows, LANES), dtype)
 
     call_a = pl.pallas_call(
         kernel_a,
@@ -605,13 +683,14 @@ def make_pallas_stream_trial(
     use_threshold: bool,
     batch_tile: int = 8,
     interpret: bool = False,
-    cap_rows: int = 256,
+    cap_rows: int = 512,
+    transport: str = "bf16x2",
 ) -> Callable:
     """Streaming Monte-Carlo trial kernel for giant frames: raw keys in,
     per-frame (syndromes_match, keys_match, iterations) out."""
     step, plan, tb, to_planes, _, dtype = _build(
         matrix, algorithm, max_iterations, use_threshold, batch_tile,
-        interpret, mode="trial", cap_rows=cap_rows,
+        interpret, mode="trial", cap_rows=cap_rows, transport=transport,
     )
 
     def _impl(alice, bob, qb, prim, sec, thr):
@@ -675,7 +754,8 @@ def make_pallas_stream_decoder(
     dtype=jnp.float32,
     batch_tile: int = 8,
     interpret: bool = False,
-    cap_rows: int = 256,
+    cap_rows: int = 512,
+    transport: str = "bf16x2",
 ) -> Callable[..., DecodeResult]:
     """Streaming decode kernel (library API): LLRs + syndrome in,
     decisions out. Same signature as make_decoder; float32 only."""
@@ -683,7 +763,7 @@ def make_pallas_stream_decoder(
         raise ValueError("streaming decoder is float32-only")
     step, plan, tb, to_planes, from_planes, fdtype = _build(
         matrix, algorithm, max_iterations, use_threshold, batch_tile,
-        interpret, mode="decode", cap_rows=cap_rows,
+        interpret, mode="decode", cap_rows=cap_rows, transport=transport,
     )
 
     def _impl(llr_ext, syndrome_ext, prim, sec, thr) -> DecodeResult:

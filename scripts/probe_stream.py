@@ -32,6 +32,7 @@ def main() -> int:
     p.add_argument("--alpha", type=float, default=0.8)
     p.add_argument("--qber", type=float, default=0.03)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--transport", default="f32")
     p.add_argument("--matrix", default=str(MATRIX))
     args = p.parse_args()
 
@@ -70,7 +71,7 @@ def main() -> int:
             plan_s = time.time() - t0
             trial = make_pallas_stream_trial(
                 matrix, DecodingAlgorithm.NMSA, 100, False,
-                batch_tile=tile, cap_rows=cap,
+                batch_tile=tile, cap_rows=cap, transport=args.transport,
             )
             t0 = time.time()
             conv, keys, iters = trial(alice, bob, args.qber, args.alpha)
@@ -84,7 +85,8 @@ def main() -> int:
                 best = min(best, time.time() - t0)
             fps = args.batch / best
             print(
-                f"cap={cap} tile={tile} (kb_b={plan.bits.kb} "
+                f"cap={cap} tile={tile} {args.transport} "
+                f"(kb_b={plan.bits.kb} "
                 f"kb_c={plan.checks.kb}): {fps:.0f} frames/s "
                 f"(best of {args.reps}; plan {plan_s:.0f}s, "
                 f"compile+first {first:.1f}s) "

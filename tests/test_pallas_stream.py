@@ -84,6 +84,7 @@ def test_matches_xla_decoder(irregular, algorithm, primary, secondary,
         make_pallas_stream_decoder(
             irregular, algorithm, 40, use_threshold,
             batch_tile=4, interpret=True, cap_rows=CAP_ROWS,
+            transport="f32",
         )
     )
     rg = generic(llr, syn, primary, secondary, thr)
@@ -120,6 +121,7 @@ def test_unconverged_frames_hit_cap(irregular):
         make_pallas_stream_decoder(
             irregular, DecodingAlgorithm.NMSA, 6, False,
             batch_tile=4, interpret=True, cap_rows=CAP_ROWS,
+            transport="f32",
         )
     )
     rg = generic(llr, syn, 0.8, 1.0, 0.0)
@@ -138,12 +140,14 @@ def test_trial_kernel_matches_decode(irregular):
         make_pallas_stream_decoder(
             irregular, DecodingAlgorithm.NMSA, 30, False,
             batch_tile=4, interpret=True, cap_rows=CAP_ROWS,
+            transport="f32",
         )
     )
     trial = jax.jit(
         make_pallas_stream_trial(
             irregular, DecodingAlgorithm.NMSA, 30, False,
             batch_tile=4, interpret=True, cap_rows=CAP_ROWS,
+            transport="f32",
         )
     )
     rd = dec(llr, syn, 0.8, 1.0, 0.0)
@@ -167,6 +171,7 @@ def test_batch_padding(irregular):
         make_pallas_stream_decoder(
             irregular, DecodingAlgorithm.NMSA, 30, False,
             batch_tile=4, interpret=True, cap_rows=CAP_ROWS,
+            transport="f32",
         )
     )
     r = dec(llr, syn, 0.8, 1.0, 0.0)
@@ -189,6 +194,7 @@ def test_multi_tile_code_matches():
         make_pallas_stream_decoder(
             matrix, DecodingAlgorithm.NMSA, 15, False,
             batch_tile=4, interpret=True, cap_rows=64,
+            transport="f32",
         )
     )
     rg = generic(llr, syn, 0.8, 1.0, 0.0)
@@ -200,6 +206,68 @@ def test_multi_tile_code_matches():
     )
     np.testing.assert_array_equal(
         np.asarray(rk.decision)[conv], np.asarray(rg.decision)[conv]
+    )
+
+
+@pytest.mark.parametrize("algorithm,primary,secondary", [
+    (DecodingAlgorithm.NMSA, 0.8, 1.0),
+    (DecodingAlgorithm.AOMSA, 0.3, 0.6),
+])
+def test_bf16x2_transport_decodes(irregular, algorithm, primary, secondary):
+    """Packed transport (two frames per f32 word through the exchange, the
+    production default) must decode correctly: on this easy operating point
+    every frame converges to Alice's key, and iteration counts stay within
+    a small window of the f32-transport path (messages are bf16-rounded in
+    flight — same contract as the generic kernel's bf16x2)."""
+    alice, bob, llr, syn = channel_case(irregular, 8, 0.02, 23)
+    exact = jax.jit(
+        make_pallas_stream_decoder(
+            irregular, algorithm, 30, False,
+            batch_tile=4, interpret=True, cap_rows=CAP_ROWS,
+            transport="f32",
+        )
+    )
+    fast = jax.jit(
+        make_pallas_stream_decoder(
+            irregular, algorithm, 30, False,
+            batch_tile=4, interpret=True, cap_rows=CAP_ROWS,
+            transport="bf16x2",
+        )
+    )
+    re_ = exact(llr, syn, primary, secondary, 0.0)
+    rf = fast(llr, syn, primary, secondary, 0.0)
+    assert np.asarray(rf.syndromes_match).all()
+    np.testing.assert_array_equal(np.asarray(rf.decision), np.asarray(alice))
+    assert np.abs(
+        np.asarray(rf.iterations) - np.asarray(re_.iterations)
+    ).max() <= 4
+
+
+def test_bf16x2_trial_matches_decode(irregular):
+    alice, bob, llr, syn = channel_case(irregular, 8, 0.02, 29)
+    dec = jax.jit(
+        make_pallas_stream_decoder(
+            irregular, DecodingAlgorithm.NMSA, 30, False,
+            batch_tile=4, interpret=True, cap_rows=CAP_ROWS,
+        )
+    )
+    trial = jax.jit(
+        make_pallas_stream_trial(
+            irregular, DecodingAlgorithm.NMSA, 30, False,
+            batch_tile=4, interpret=True, cap_rows=CAP_ROWS,
+        )
+    )
+    rd = dec(llr, syn, 0.8, 1.0, 0.0)
+    conv, keys, iters = trial(alice, bob, 0.02, 0.8, 1.0, 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(conv), np.asarray(rd.syndromes_match)
+    )
+    np.testing.assert_array_equal(np.asarray(iters), np.asarray(rd.iterations))
+    expect_keys = np.all(
+        np.asarray(rd.decision) == np.asarray(alice), axis=1
+    ) & np.asarray(conv)
+    np.testing.assert_array_equal(
+        np.asarray(keys)[np.asarray(conv)], expect_keys[np.asarray(conv)]
     )
 
 
@@ -231,7 +299,9 @@ def test_driver_selects_stream(monkeypatch, irregular):
     called = []
     monkeypatch.setattr(
         pallas_stream, "make_pallas_stream_trial",
-        lambda *a, **k: called.append(1) or orig(*a, cap_rows=CAP_ROWS, **k),
+        lambda *a, **k: called.append(1) or orig(
+            *a, cap_rows=CAP_ROWS, transport="f32", **k
+        ),
     )
 
     def cfg(use_pallas):
