@@ -19,9 +19,14 @@ vs_baseline is measured against the north-star target of 1e5 frames/s/chip
 
 Prints exactly one JSON line on stdout; diagnostics go to stderr.
 
-Env knobs: BENCH_BATCH (default 98304), BENCH_STEPS (default 1),
+A third field tracks the reference's largest production frames: the
+N=102400 alist matrix through the streaming HBM-resident kernel
+(``stream100k_frames_per_s``; see BASELINE.md §N=102400).
+
+Env knobs: BENCH_BATCH (default 196608), BENCH_STEPS (default 1),
 BENCH_ALIST=0 to skip the alist measurement (slow first compile),
-BENCH_ALIST_BATCH (default 8192).
+BENCH_ALIST_BATCH (default 8192), BENCH_100K=0 to skip the 100k
+measurement, BENCH_100K_TRIALS (default 256).
 """
 
 from __future__ import annotations
@@ -35,6 +40,10 @@ from pathlib import Path
 REFERENCE_MATRIX = Path(
     "/root/reference/sparse_matrices/matrices_alist_10k_all/"
     "(N=10240,M=2841,R=0.72,CW=4,SEED=666).mtrx"
+)
+REFERENCE_MATRIX_100K = Path(
+    "/root/reference/sparse_matrices/matrices_alist_100k_all/"
+    "(N=102400,M=32001,R=0.69,CW=3,SEED=777).mtrx"
 )
 TARGET_FRAMES_PER_S = 1e5  # BASELINE.md north star, v5e chip
 QBER = 0.03
@@ -99,7 +108,7 @@ def main() -> int:
     from qkd_ldpc_v_tpu.models.hmatrix import read_sparse_matrix_alist
     from qkd_ldpc_v_tpu.models.qc import generate_qc_peg
 
-    batch = int(os.environ.get("BENCH_BATCH", "98304"))
+    batch = int(os.environ.get("BENCH_BATCH", "196608"))
     steps = int(os.environ.get("BENCH_STEPS", "1"))
 
     dev = jax.devices()[0]
@@ -129,12 +138,31 @@ def main() -> int:
             "alist_fer": round(afer, 5),
         }
 
+    # The reference's largest production frames (N=102400) through the
+    # streaming HBM-resident kernel.
+    stream_fields = {}
+    if (
+        os.environ.get("BENCH_100K", "1") != "0"
+        and REFERENCE_MATRIX_100K.exists()
+    ):
+        trials_100k = int(os.environ.get("BENCH_100K_TRIALS", "256"))
+        big = read_sparse_matrix_alist(REFERENCE_MATRIX_100K)
+        sfps, sfer = _measure(
+            big, 0.8, {"use_pallas": True}, 64,
+            max(1, trials_100k // 64), "stream-100k",
+        )
+        stream_fields = {
+            "stream100k_frames_per_s": round(sfps, 1),
+            "stream100k_fer": round(sfer, 5),
+        }
+
     print(json.dumps({
         "metric": "decoded_10k_frames_per_s_qber0.03",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / TARGET_FRAMES_PER_S, 4),
         **alist_fields,
+        **stream_fields,
     }))
     return 0
 

@@ -283,6 +283,58 @@ def test_feasibility_gate(irregular):
     assert not stream_feasible(irregular)
 
 
+def test_driver_rate_adaptive_stream(monkeypatch, irregular):
+    """Rate adaptation under the streaming engine: frames are built in XLA
+    and decoded through the streaming library decoder (decode_tail); on f32
+    transport the NMSA statistics must equal the XLA path's exactly."""
+    from qkd_ldpc_v_tpu import rate_adapt as ra
+    from qkd_ldpc_v_tpu import simulation
+    from qkd_ldpc_v_tpu.ops import pallas_generic, pallas_stream
+
+    monkeypatch.setattr(
+        pallas_generic, "generic_plan_feasible", lambda m: False
+    )
+    monkeypatch.setattr(pallas_stream, "stream_feasible", lambda m: True)
+    orig = pallas_stream.make_pallas_stream_decoder
+    called = []
+    monkeypatch.setattr(
+        pallas_stream, "make_pallas_stream_decoder",
+        lambda *a, **k: called.append(1) or orig(
+            *a, cap_rows=CAP_ROWS, transport="f32", **k
+        ),
+    )
+
+    rng = np.random.default_rng(7)
+    params = ra.adapt_code_rate(
+        rng, irregular, qber=0.05, delta=0.15, efficiency=1.2
+    )
+
+    def cfg(use_pallas):
+        return Config(
+            trials_number=8,
+            simulation_seed=5,
+            decoding_algorithm=DecodingAlgorithm.NMSA,
+            decoding_alg_max_iterations=30,
+            enable_code_rate_adaptation=True,
+            r_qber_ranges=(RQBERRange(0.99, 0.05, 0.05, 0.01),),
+            batch_size=8,
+            use_pallas=use_pallas,
+        )
+
+    comb = simulation.SimCombination(
+        0.05, params, simulation.ScalingFactors(primary=0.8)
+    )
+    r_stream = simulation.run_combination(
+        irregular, comb, cfg(True), sim_number=0
+    )
+    assert called, "streaming decoder was not selected"
+    r_xla = simulation.run_combination(
+        irregular, comb, cfg(False), sim_number=0
+    )
+    assert r_stream.ratio_trials_success_ldpc == r_xla.ratio_trials_success_ldpc
+    assert r_stream.iter_success_mean == r_xla.iter_success_mean
+
+
 def test_driver_selects_stream(monkeypatch, irregular):
     """With the generic kernel gated out, the driver's use_pallas path picks
     the streaming trial kernel; on identical host-generated keys it must
