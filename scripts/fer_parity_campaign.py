@@ -14,6 +14,11 @@ Output: a markdown table (append to PARITY.md §"FER parity at production
 scale") plus one JSON line per point.
 
 Usage: python scripts/fer_parity_campaign.py [trials] [--cpu]
+         [--matrix=PATH] [--points=NAME:QBER,...] [--chunk=N]
+
+--matrix accepts any alist matrix; the framework engine is picked by
+feasibility (fused generic kernel, or the streaming HBM-resident kernel
+for giant frames like the reference's N=102400 suite).
 """
 
 from __future__ import annotations
@@ -59,23 +64,23 @@ ALL_POINTS = POINTS + [
 ]
 
 
-def gen_channel(rng, batch, qber):
-    alice = rng.integers(0, 2, (batch, N)).astype(np.int8)
+def gen_channel(rng, batch, qber, n):
+    alice = rng.integers(0, 2, (batch, n)).astype(np.int8)
     bob = alice.copy()
-    k = int(N * qber)
+    k = int(n * qber)
     for b in range(batch):
-        pos = rng.permutation(N)[:k]
+        pos = rng.permutation(n)[:k]
         bob[b, pos] ^= 1
-    return alice, bob, k / N
+    return alice, bob, k / n
 
 
-def run_reference(alg, primary, secondary, alice, bob, qber):
+def run_reference(matrix_path, alg, primary, secondary, alice, bob, qber):
     batch = alice.shape[0]
     lines = [f"{batch} {qber:.10f}"]
     lines += [" ".join(map(str, row)) for row in alice]
     lines += [" ".join(map(str, row)) for row in bob]
     out = subprocess.run(
-        [str(HARNESS), str(MATRIX), "1", str(alg), "100",
+        [str(HARNESS), str(matrix_path), "1", str(alg), "100",
          str(primary), str(secondary), "0"],
         input="\n".join(lines) + "\n",
         capture_output=True, text=True, check=True,
@@ -108,6 +113,29 @@ def main() -> int:
     if only:
         names = set(only[0].split(","))
         points = [p for p in points if p[1] in names]
+    opts = dict(
+        a.lstrip("-").split("=", 1)
+        for a in sys.argv[1:]
+        if a.startswith("--") and "=" in a
+    )
+    matrix_path = Path(opts.get("matrix", MATRIX))
+    chunk = int(opts.get("chunk", CHUNK))
+    if "points" in opts:
+        # NAME:QBER[:primary[:secondary]] — algorithm ids from the
+        # reference's enum order.
+        ids = {"SPA": 0, "SPA-LIN": 1, "NMSA": 2, "OMSA": 3,
+               "ANMSA": 4, "AOMSA": 5}
+        defaults = {"SPA": (1.0, 1.0), "SPA-LIN": (1.0, 1.0),
+                    "NMSA": (0.8, 1.0), "OMSA": (0.5, 1.0),
+                    "ANMSA": (0.8, 0.6), "AOMSA": (0.5, 1.0)}
+        points = []
+        for spec in opts["points"].split(","):
+            parts = spec.split(":")
+            name = parts[0]
+            qber = float(parts[1])
+            prim = float(parts[2]) if len(parts) > 2 else defaults[name][0]
+            sec = float(parts[3]) if len(parts) > 3 else defaults[name][1]
+            points.append((ids[name], name, prim, sec, qber))
     if force_cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -121,30 +149,43 @@ def main() -> int:
 
     from qkd_ldpc_v_tpu.config import DecodingAlgorithm
     from qkd_ldpc_v_tpu.models.hmatrix import read_sparse_matrix_alist
-    from qkd_ldpc_v_tpu.ops.pallas_generic import make_pallas_generic_trial
+    from qkd_ldpc_v_tpu.ops.pallas_generic import (
+        generic_plan_feasible,
+        make_pallas_generic_trial,
+    )
+    from qkd_ldpc_v_tpu.ops.pallas_stream import make_pallas_stream_trial
 
     interpret = jax.default_backend() == "cpu"
-    matrix = read_sparse_matrix_alist(MATRIX)
-    print(f"device: {jax.devices()[0]}  trials/point: {trials}",
+    matrix = read_sparse_matrix_alist(matrix_path)
+    n = matrix.num_bit_nodes
+    use_stream = not generic_plan_feasible(matrix)
+    print(f"device: {jax.devices()[0]}  trials/point: {trials}  "
+          f"N={n}  engine={'stream' if use_stream else 'generic'}",
           file=sys.stderr, flush=True)
 
     rows = ["| alg | QBER | FER ref (95% CI) | FER tpu (95% CI) | "
             "frame agreement | iters ref/tpu |",
             "|---|---|---|---|---|---|"]
     for alg, name, primary, secondary, qber in points:
-        trial = jax.jit(make_pallas_generic_trial(
-            matrix, DecodingAlgorithm(alg), 100, False,
-            batch_tile=8, interpret=interpret,
-        ))
+        if use_stream:
+            trial = make_pallas_stream_trial(
+                matrix, DecodingAlgorithm(alg), 100, False,
+                interpret=interpret,
+            )
+        else:
+            trial = jax.jit(make_pallas_generic_trial(
+                matrix, DecodingAlgorithm(alg), 100, False,
+                batch_tile=8, interpret=interpret,
+            ))
         rng = np.random.default_rng(977 + alg)
         rc = rk = oc = ok_ = agree = n_done = 0
         ri_sum = oi_sum = 0
         t0 = time.perf_counter()
         while n_done < trials:
-            take = min(CHUNK, trials - n_done)
-            alice, bob, q = gen_channel(rng, take, qber)
+            take = min(chunk, trials - n_done)
+            alice, bob, q = gen_channel(rng, take, qber, n)
             conv_r, keys_r, iters_r = run_reference(
-                alg, primary, secondary, alice, bob, q
+                matrix_path, alg, primary, secondary, alice, bob, q
             )
             import jax.numpy as jnp
             conv_o, keys_o, iters_o = trial(
