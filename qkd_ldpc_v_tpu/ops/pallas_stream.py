@@ -23,18 +23,23 @@ direction — the whole iteration is ~4 sequential HBM passes at DMA-
 friendly chunk sizes (~100 KB). Block layouts and the per-block Clos
 factorizations come from ops/stream_plan.py.
 
-Decisions ride the message mantissa LSB exactly like the generic kernel's
-f32 transport; pad slots carry direction-specific neutral values
-(min-neutral check-side with a zero LSB, 0.0 bit-side) which the pad<->pad
-level of both permutation levels preserves.
+For the min-sum family, decisions ride the message mantissa LSB exactly
+like the generic kernel's transport (per-half LSBs under bf16x2 packing);
+pad slots carry direction-specific neutral values (min-neutral check-side
+with zero LSBs, 0.0 bit-side) which the pad<->pad level of both
+permutation levels preserves.
 
-Algorithms: the min-sum family (NMSA/OMSA/ANMSA/AOMSA) with the
-reference's exact update rules (src/qkd_ldpc_algorithm.cpp:317-1029);
-SPA falls back to the XLA decoder. Early-exit and iteration-count
-semantics match the reference: non-adaptive convergence is detected on
-the decisions of each bit pass (evaluated at the next check block sweep),
-the adaptive pair converges inside the check pass on the previous
-iteration's decisions (one half-iteration early, :770-776).
+Algorithms: all six reference decoders
+(src/qkd_ldpc_algorithm.cpp:3-1029). The min-sum family
+(NMSA/OMSA/ANMSA/AOMSA) uses the packed bf16x2 transport by default; the
+SPA pair (tanh-product / piecewise-linear approximation) needs the f32
+mantissa in flight, so it forces f32 transport and carries its decisions
+on a separate staged exchange (check-side pads are tanh-neutral: huge
+positive -> tanh = 1). Early-exit and iteration-count semantics match the
+reference: non-adaptive convergence is detected on the decisions of each
+bit pass (evaluated at the next check block sweep), the adaptive pair
+converges inside the check pass on the previous iteration's decisions
+(one half-iteration early, :770-776).
 """
 
 from __future__ import annotations
@@ -52,6 +57,11 @@ from qkd_ldpc_v_tpu.config import DecodingAlgorithm
 from qkd_ldpc_v_tpu.models.hmatrix import HMatrix
 from qkd_ldpc_v_tpu.ops.decoders import DecodeResult
 from qkd_ldpc_v_tpu.ops.dispatch import is_traced, scalar_bundle, unbundle
+from qkd_ldpc_v_tpu.ops.linapprox import (
+    atanh_lin_approx,
+    guard_atanh_ratio,
+    tanh_lin_approx,
+)
 from qkd_ldpc_v_tpu.ops.stream_plan import (
     LANES,
     StreamPlan,
@@ -115,11 +125,27 @@ def _build(
     cap_rows: int = 512,
     transport: str = "bf16x2",  # "bf16x2" | "f32"
 ):
-    if algorithm in (DecodingAlgorithm.SPA, DecodingAlgorithm.SPA_APPROX):
-        raise ValueError("streaming decoder: min-sum family only")
     if transport not in ("bf16x2", "f32"):
         raise ValueError(f"unknown transport {transport!r}")
+    spa = algorithm in (DecodingAlgorithm.SPA, DecodingAlgorithm.SPA_APPROX)
+    if spa:
+        # SPA's tanh products need the mantissa (f32 transport, matching
+        # the fused generic kernel), and its decisions ride a separate
+        # staged exchange instead of message LSBs — the extra in-kernel
+        # pass needs a smaller block cap to stay inside scoped VMEM.
+        transport = "f32"
+        cap_rows = min(cap_rows, 256)
     halves = 2 if transport == "bf16x2" else 1
+    if algorithm == DecodingAlgorithm.SPA:
+        tanh_fn = jnp.tanh
+        # Mosaic has no atanh primitive: log identity, same as the fused
+        # generic kernel (equality-tested against decoders.py's
+        # jnp.arctanh).
+        atanh_fn = lambda x: 0.5 * jnp.log((1.0 + x) / (1.0 - x))  # noqa: E731
+        guard = True  # fast-precision atanh domain guard
+    else:
+        tanh_fn, atanh_fn = tanh_lin_approx, atanh_lin_approx
+        guard = False
     if batch_tile % halves:
         raise ValueError(f"{transport} transport needs batch_tile % {halves}"
                          " == 0")
@@ -238,12 +264,39 @@ def _build(
 
     def kernel_a(*args):
         (p2_tabs, p1_tabs) = (args[0:5], args[5:10])
-        staged_in, syn_ref, deg_ref, prim_ref, sec_ref, thr_ref = args[10:16]
-        out_ref, mism_ref, x0, x1 = args[16:20]
+        if spa:
+            (staged_in, dstage_in, syn_ref, deg_ref, prim_ref, sec_ref,
+             thr_ref) = args[10:17]
+            out_ref, mism_ref, x0, x1 = args[17:21]
+        else:
+            staged_in, syn_ref, deg_ref, prim_ref, sec_ref, thr_ref = \
+                args[10:16]
+            out_ref, mism_ref, x0, x1 = args[16:20]
         primary = prim_ref[0, 0]
         secondary = sec_ref[0, 0]
         threshold = thr_ref[0, 0]
         l_c, dmax = checks.l_blk, checks.dmax
+
+        def slab(s):
+            return x1[:, s * l_c:(s + 1) * l_c, :]
+
+        if spa:
+            # Decision plane first (its own staged exchange): syndrome
+            # mismatch totals, then the buffers are free for messages.
+            for s in range(kb_b):
+                x0[:, s * ch_cm:(s + 1) * ch_cm, :] = dstage_in[s, 0]
+            if kb_b * ch_cm < r_a:
+                x0[:, kb_b * ch_cm:r_a, :] = jnp.zeros(
+                    (tp, r_a - kb_b * ch_cm, LANES), dtype
+                )
+            permute(p2_tabs, x0, x1, plan.to_cm.r2)
+            par = None
+            for s in range(dmax):
+                b = (slab(s) > 0.5).astype(jnp.int32)
+                par = b if par is None else par ^ b
+            mism_ref[0] = jnp.sum(
+                jnp.sum(par ^ syn_ref[0], axis=2, keepdims=True), axis=1
+            )
 
         # Assemble staged chunks (src bit blocks) into P2_cm's input space.
         for s in range(kb_b):
@@ -253,8 +306,30 @@ def _build(
         if plan.to_cm.r2 < r_a:
             _neut_fill(x1, plan.to_cm.r2, r_a, NEUT)
 
-        def slab(s):
-            return x1[:, s * l_c:(s + 1) * l_c, :]
+        if spa:
+            # Tanh-product check pass (reference :55-71). Pad slots hold
+            # NEUT (huge positive) -> tanh = 1.0, product-neutral.
+            ss = jnp.where(syn_ref[0] == 1, -1.0, 1.0).astype(dtype)
+            ts = [tanh_fn(slab(s) * 0.5) for s in range(dmax)]
+            prod = ss
+            for t in ts:
+                prod = prod * t
+            deg = deg_ref[0][None]
+            for s in range(dmax):
+                ratio = prod / ts[s]
+                if guard:
+                    ratio = guard_atanh_ratio(ratio, dtype)
+                val = clamp((2.0 * atanh_fn(ratio)).astype(dtype), threshold)
+                # bit-side pad slots must arrive sum-neutral
+                x0[:, s * l_c:(s + 1) * l_c, :] = jnp.where(s < deg, val, 0.0)
+            if checks.rows_blk < plan.to_bm.r1:
+                x0[:, checks.rows_blk:plan.to_bm.r1, :] = jnp.zeros(
+                    (tp, plan.to_bm.r1 - checks.rows_blk, LANES), dtype
+                )
+            permute(p1_tabs, x0, x1, plan.to_bm.r1)
+            for d in range(kb_b):
+                out_ref[0, d] = x1[:, d * ch_bm:(d + 1) * ch_bm, :]
+            return
 
         words = [slab(s) for s in range(dmax)]
         out_vals = []  # per half: per-slot new check->bit messages
@@ -322,10 +397,17 @@ def _build(
         staged_in, llr_ref, deg_ref, alice_ref, prim_ref, sec_ref, thr_ref \
             = args[10:17]
         rest = args[17:]
+        dout_ref = None
         if mode == "decode":
-            out_ref, km_ref, dec_ref, x0, x1 = rest
+            if spa:
+                out_ref, dout_ref, km_ref, dec_ref, x0, x1 = rest
+            else:
+                out_ref, km_ref, dec_ref, x0, x1 = rest
         else:
-            out_ref, km_ref, x0, x1 = rest
+            if spa:
+                out_ref, dout_ref, km_ref, x0, x1 = rest
+            else:
+                out_ref, km_ref, x0, x1 = rest
         threshold = thr_ref[0, 0]
         l_b, dmax = bits.l_blk, bits.dmax
 
@@ -369,15 +451,32 @@ def _build(
             jnp.full((tp, l_b, LANES), NEUT, jnp.int32), dtype
         )
         for s in range(dmax):
-            w = pack_dec(
-                [out_per_half[h][s] for h in range(halves)], dec_per_half
-            )
+            if spa:  # SPA messages keep their exact LSBs
+                w = out_per_half[0][s]
+            else:
+                w = pack_dec(
+                    [out_per_half[h][s] for h in range(halves)], dec_per_half
+                )
             x0[:, s * l_b:(s + 1) * l_b, :] = jnp.where(s < deg, w, neutw)
         if bits.rows_blk < plan.to_cm.r1:
             _neut_fill(x0, bits.rows_blk, plan.to_cm.r1, NEUT)
         permute(p1_tabs, x0, x1, plan.to_cm.r1)
         for d in range(kb_c):
             out_ref[0, d] = x1[:, d * ch_cm:(d + 1) * ch_cm, :]
+        if spa:
+            # Decisions ride their own staged exchange (0.0 / 1.0 values).
+            dv = dec_per_half[0].astype(dtype)
+            for s in range(dmax):
+                x0[:, s * l_b:(s + 1) * l_b, :] = jnp.where(
+                    s < deg, dv, 0.0
+                )
+            if bits.rows_blk < plan.to_cm.r1:
+                x0[:, bits.rows_blk:plan.to_cm.r1, :] = jnp.zeros(
+                    (tp, plan.to_cm.r1 - bits.rows_blk, LANES), dtype
+                )
+            permute(p1_tabs, x0, x1, plan.to_cm.r1)
+            for d in range(kb_c):
+                dout_ref[0, d] = x1[:, d * ch_cm:(d + 1) * ch_cm, :]
 
     # ------------------------------------------------------------------
     # Kernel I: initial staging over one bit block (messages + parity)
@@ -387,14 +486,21 @@ def _build(
         (p1_tabs,) = (args[0:5],)
         llr_ref, deg_ref, alice_ref = args[5:8]
         rest = args[8:]
+        dout_ref = None
         if mode == "trial":
-            out_ref, par_ref, x0, x1 = rest
+            if spa:
+                out_ref, dout_ref, par_ref, x0, x1 = rest
+            else:
+                out_ref, par_ref, x0, x1 = rest
         else:
-            out_ref, x0, x1 = rest
+            if spa:
+                out_ref, dout_ref, x0, x1 = rest
+            else:
+                out_ref, x0, x1 = rest
         l_b, dmax = bits.l_blk, bits.dmax
         llrs = [llr_ref[0][hrows(h)] for h in range(halves)]
         decs = [(llr <= 0).astype(jnp.int32) for llr in llrs]
-        w0 = pack_dec(llrs, decs)
+        w0 = llrs[0] if spa else pack_dec(llrs, decs)
         deg = deg_ref[0][None]
         neutw = jax.lax.bitcast_convert_type(
             jnp.full((tp, l_b, LANES), NEUT, jnp.int32), dtype
@@ -406,6 +512,20 @@ def _build(
         permute(p1_tabs, x0, x1, plan.to_cm.r1)
         for d in range(kb_c):
             out_ref[0, d] = x1[:, d * ch_cm:(d + 1) * ch_cm, :]
+        if spa:
+            # Initial decision plane (channel LLR signs) staged separately.
+            dv = decs[0].astype(dtype)
+            for s in range(dmax):
+                x0[:, s * l_b:(s + 1) * l_b, :] = jnp.where(
+                    s < deg, dv, 0.0
+                )
+            if bits.rows_blk < plan.to_cm.r1:
+                x0[:, bits.rows_blk:plan.to_cm.r1, :] = jnp.zeros(
+                    (tp, plan.to_cm.r1 - bits.rows_blk, LANES), dtype
+                )
+            permute(p1_tabs, x0, x1, plan.to_cm.r1)
+            for d in range(kb_c):
+                dout_ref[0, d] = x1[:, d * ch_cm:(d + 1) * ch_cm, :]
         if mode == "trial":
             # Alice bits as exact small f32s (0.0 / 1.0 are exact in bf16).
             av = pack([
@@ -497,8 +617,9 @@ def _build(
         grid=(kb_c,),
         in_specs=(
             _table_specs(cm_p2_t) + _table_specs(bm_p1_t)
+            + [staged_in_spec(kb_b, kb_c, ch_cm)]
+            + ([staged_in_spec(kb_b, kb_c, ch_cm)] if spa else [])  # dstage
             + [
-                staged_in_spec(kb_b, kb_c, ch_cm),
                 plane_spec(checks.l_blk),  # syndrome planes (int32)
                 degplane_spec(checks.l_blk),
                 scalar_spec, scalar_spec, scalar_spec,
@@ -526,11 +647,15 @@ def _build(
             scalar_spec, scalar_spec, scalar_spec,
         ]
     )
-    b_out_specs = [staged_out_spec(kb_b, kb_c, ch_cm), col_out_spec()]
-    b_out_shape = [
-        jax.ShapeDtypeStruct(staged_shape(kb_b, kb_c, ch_cm), f32),
-        jax.ShapeDtypeStruct((kb_b, tb, 1), jnp.int32),
-    ]
+    b_out_specs = [staged_out_spec(kb_b, kb_c, ch_cm)]
+    b_out_shape = [jax.ShapeDtypeStruct(staged_shape(kb_b, kb_c, ch_cm), f32)]
+    if spa:  # decision-plane staged exchange
+        b_out_specs.append(staged_out_spec(kb_b, kb_c, ch_cm))
+        b_out_shape.append(
+            jax.ShapeDtypeStruct(staged_shape(kb_b, kb_c, ch_cm), f32)
+        )
+    b_out_specs.append(col_out_spec())
+    b_out_shape.append(jax.ShapeDtypeStruct((kb_b, tb, 1), jnp.int32))
     if mode == "decode":
         b_out_specs.append(plane_spec(bits.l_blk))
         b_out_shape.append(
@@ -548,6 +673,11 @@ def _build(
 
     i_out_specs = [staged_out_spec(kb_b, kb_c, ch_cm)]
     i_out_shape = [jax.ShapeDtypeStruct(staged_shape(kb_b, kb_c, ch_cm), f32)]
+    if spa:  # initial decision plane
+        i_out_specs.append(staged_out_spec(kb_b, kb_c, ch_cm))
+        i_out_shape.append(
+            jax.ShapeDtypeStruct(staged_shape(kb_b, kb_c, ch_cm), f32)
+        )
     if mode == "trial":
         i_out_specs.append(staged_out_spec(kb_b, kb_c, ch_cm))
         i_out_shape.append(
@@ -602,11 +732,19 @@ def _build(
     def step(llr_planes, alice_planes, syn_planes, prim, sec, thr):
         """Full decode of one tb-frame group. Returns (conv, km_frozen,
         iters, dec_planes or None)."""
+        outs_i = call_i(*cm_p1_v, llr_planes, deg_b, alice_planes)
+        dstage = None
         if mode == "trial":
-            staged, par = call_i(*cm_p1_v, llr_planes, deg_b, alice_planes)
+            if spa:
+                staged, dstage, par = outs_i
+            else:
+                staged, par = outs_i
             (syn_planes,) = call_s(*cm_p2_v, par)
         else:
-            (staged,) = call_i(*cm_p1_v, llr_planes, deg_b, alice_planes)
+            if spa:
+                staged, dstage = outs_i
+            else:
+                (staged,) = outs_i
 
         cap1 = max_iterations + (0 if adaptive else 1)
 
@@ -620,11 +758,21 @@ def _build(
         ).astype(jnp.int32)
 
         def body(carry):
-            staged, conv, iters, kmf, km_prev, decf, dec_prev, a_idx = carry
-            stagedbm, mism = call_a(
-                *cm_p2_v, *bm_p1_v, staged, syn_planes, deg_c,
-                prim, sec, thr,
-            )
+            if spa:
+                (staged, dstage, conv, iters, kmf, km_prev, decf, dec_prev,
+                 a_idx) = carry
+                stagedbm, mism = call_a(
+                    *cm_p2_v, *bm_p1_v, staged, dstage, syn_planes, deg_c,
+                    prim, sec, thr,
+                )
+            else:
+                dstage = None
+                (staged, conv, iters, kmf, km_prev, decf, dec_prev,
+                 a_idx) = carry
+                stagedbm, mism = call_a(
+                    *cm_p2_v, *bm_p1_v, staged, syn_planes, deg_c,
+                    prim, sec, thr,
+                )
             total = jnp.sum(mism, axis=0)  # [tb, 1]
             ok = (total == 0).astype(jnp.int32)
             if not adaptive:
@@ -638,36 +786,44 @@ def _build(
             iters = jnp.where(newly != 0, it_val, iters)
             kmf = jnp.where(newly != 0, km_prev, kmf)
             conv = jnp.maximum(conv, ok)
+            outs_b = call_b(
+                *bm_p2_v, *cm_p1_v, stagedbm, llr_planes, deg_b,
+                alice_planes, prim, sec, thr,
+            )
             if mode == "decode":
-                staged, km_parts, dec_planes = call_b(
-                    *bm_p2_v, *cm_p1_v, stagedbm, llr_planes, deg_b,
-                    alice_planes, prim, sec, thr,
-                )
+                if spa:
+                    staged, dstage, km_parts, dec_planes = outs_b
+                else:
+                    staged, km_parts, dec_planes = outs_b
                 sel = (newly != 0)[None, :, :, None]
                 decf = jnp.where(sel, dec_prev, decf)
                 dec_prev = dec_planes
             else:
-                staged, km_parts = call_b(
-                    *bm_p2_v, *cm_p1_v, stagedbm, llr_planes, deg_b,
-                    alice_planes, prim, sec, thr,
-                )
+                if spa:
+                    staged, dstage, km_parts = outs_b
+                else:
+                    staged, km_parts = outs_b
             km_prev = (jnp.sum(km_parts, axis=0) == 0).astype(jnp.int32)
-            return staged, conv, iters, kmf, km_prev, decf, dec_prev, a_idx + 1
+            out = (staged, conv, iters, kmf, km_prev, decf, dec_prev,
+                   a_idx + 1)
+            return (out[:1] + (dstage,) + out[1:]) if spa else out
 
         def cond(carry):
-            _, conv, _, _, _, _, _, a_idx = carry
+            conv = carry[2] if spa else carry[1]
+            a_idx = carry[-1]
             return (a_idx <= cap1) & ~jnp.all(conv != 0)
 
         conv0 = jnp.zeros((tb, 1), jnp.int32)
         iters0 = jnp.full((tb, 1), max_iterations, jnp.int32)
         km0 = jnp.zeros((tb, 1), jnp.int32)
-        staged, conv, iters, kmf, km_prev, decf, dec_prev, _ = (
-            jax.lax.while_loop(
-                cond, body,
-                (staged, conv0, iters0, km0, km_init, dec_init, dec_init,
-                 jnp.int32(1)),
-            )
-        )
+        init = (staged, conv0, iters0, km0, km_init, dec_init, dec_init,
+                jnp.int32(1))
+        if spa:
+            init = init[:1] + (dstage,) + init[1:]
+        final = jax.lax.while_loop(cond, body, init)
+        if spa:
+            final = final[:1] + final[2:]
+        staged, conv, iters, kmf, km_prev, decf, dec_prev, _ = final
         # Converged frames report their frozen decision; unconverged ones
         # the last bit pass's (reference returns the final decision).
         dec_out = jnp.where((conv != 0)[None, :, :, None], decf, dec_prev)

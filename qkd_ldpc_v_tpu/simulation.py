@@ -348,14 +348,8 @@ def _build_step(
 
         generic_active = generic_plan_feasible(matrix)
     stream_active = False
-    if (
-        use_pallas
-        and not qc_active
-        and not generic_active
-        and dtype == jnp.float32
-        and algorithm
-        not in (DecodingAlgorithm.SPA, DecodingAlgorithm.SPA_APPROX)
-    ):
+    if use_pallas and not qc_active and not generic_active \
+            and dtype == jnp.float32:
         # Giant frames (e.g. the reference's N=102400 suite) whose edge
         # state exceeds VMEM stream HBM-resident blocks instead.
         from qkd_ldpc_v_tpu.ops.pallas_stream import stream_feasible

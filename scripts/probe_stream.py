@@ -33,6 +33,8 @@ def main() -> int:
     p.add_argument("--qber", type=float, default=0.03)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--transport", default="f32")
+    p.add_argument("--alg", default="NMSA")
+    p.add_argument("--alpha2", type=float, default=1.0)
     p.add_argument("--matrix", default=str(MATRIX))
     args = p.parse_args()
 
@@ -70,22 +72,26 @@ def main() -> int:
             plan = build_stream_plan(matrix, cap_rows=cap)
             plan_s = time.time() - t0
             trial = make_pallas_stream_trial(
-                matrix, DecodingAlgorithm.NMSA, 100, False,
+                matrix, DecodingAlgorithm[args.alg], 100, False,
                 batch_tile=tile, cap_rows=cap, transport=args.transport,
             )
             t0 = time.time()
-            conv, keys, iters = trial(alice, bob, args.qber, args.alpha)
+            conv, keys, iters = trial(
+                alice, bob, args.qber, args.alpha, args.alpha2
+            )
             jax.block_until_ready((conv, keys, iters))
             first = time.time() - t0
             best = float("inf")
             for _ in range(args.reps):
                 t0 = time.time()
-                conv, keys, iters = trial(alice, bob, args.qber, args.alpha)
+                conv, keys, iters = trial(
+                    alice, bob, args.qber, args.alpha, args.alpha2
+                )
                 jax.block_until_ready((conv, keys, iters))
                 best = min(best, time.time() - t0)
             fps = args.batch / best
             print(
-                f"cap={cap} tile={tile} {args.transport} "
+                f"cap={cap} tile={tile} {args.alg} {args.transport} "
                 f"(kb_b={plan.bits.kb} "
                 f"kb_c={plan.checks.kb}): {fps:.0f} frames/s "
                 f"(best of {args.reps}; plan {plan_s:.0f}s, "

@@ -66,6 +66,8 @@ def test_plan_is_multiblock(irregular):
 
 
 @pytest.mark.parametrize("algorithm,primary,secondary", [
+    (DecodingAlgorithm.SPA, 1.0, 1.0),
+    (DecodingAlgorithm.SPA_APPROX, 1.0, 1.0),
     (DecodingAlgorithm.NMSA, 0.8, 1.0),
     (DecodingAlgorithm.OMSA, 0.3, 1.0),
     (DecodingAlgorithm.ANMSA, 0.88, 0.5),
@@ -271,11 +273,28 @@ def test_bf16x2_trial_matches_decode(irregular):
     )
 
 
-def test_spa_rejected(irregular):
-    with pytest.raises(ValueError, match="min-sum"):
+def test_spa_trial_matches_decode(irregular):
+    """SPA's decisions ride a separate staged exchange; the trial kernel
+    must still agree with the decode kernel frame for frame."""
+    alice, bob, llr, syn = channel_case(irregular, 8, 0.02, 53)
+    dec = jax.jit(
         make_pallas_stream_decoder(
-            irregular, DecodingAlgorithm.SPA, 30, False, interpret=True,
+            irregular, DecodingAlgorithm.SPA, 30, False,
+            batch_tile=4, interpret=True, cap_rows=CAP_ROWS,
         )
+    )
+    trial = jax.jit(
+        make_pallas_stream_trial(
+            irregular, DecodingAlgorithm.SPA, 30, False,
+            batch_tile=4, interpret=True, cap_rows=CAP_ROWS,
+        )
+    )
+    rd = dec(llr, syn, 1.0, 1.0, 0.0)
+    conv, keys, iters = trial(alice, bob, 0.02, 1.0, 1.0, 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(conv), np.asarray(rd.syndromes_match)
+    )
+    np.testing.assert_array_equal(np.asarray(iters), np.asarray(rd.iterations))
 
 
 def test_feasibility_gate(irregular):
