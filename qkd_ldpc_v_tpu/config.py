@@ -220,6 +220,11 @@ class Config:
     # (BP from the same init is deterministic), but the big batch stops
     # dragging at the cap for a few stragglers. -1 = auto (cap // 2 when the
     # cap is >= 64, else disabled), 0 = disabled, >0 = explicit phase-1 cap.
+    # Applies to the XLA engines; under use_pallas only the streaming
+    # engine honors it (explicit > 0 only — its per-group early exit runs
+    # to the slowest frame of each group, which phase 1 clips). Measured
+    # at the N=102400 working point it is break-even-to-slower (re-decode
+    # restarts from scratch; BASELINE.md) — prefer 0 there.
     phase1_iterations: int = -1
 
 

@@ -592,6 +592,28 @@ def get_step(
     return fn
 
 
+def pallas_engine(matrix: HMatrix, cfg: Config) -> str:
+    """Which engine ``_build_step`` will pick: "qc" | "generic" | "stream"
+    | "xla". Mirrors the gates at the top of ``_build_step`` (kept in sync —
+    both consult the same feasibility predicates)."""
+    if not cfg.use_pallas or jnp.dtype(cfg.dtype) != jnp.float32:
+        return "xla"
+    if matrix.qc is not None:
+        from qkd_ldpc_v_tpu.ops.pallas_qc import feasible_batch_tile
+
+        if feasible_batch_tile(matrix.qc) > 0:
+            return "qc"
+    from qkd_ldpc_v_tpu.ops.pallas_generic import generic_plan_feasible
+
+    if generic_plan_feasible(matrix):
+        return "generic"
+    from qkd_ldpc_v_tpu.ops.pallas_stream import stream_feasible
+
+    if stream_feasible(matrix):
+        return "stream"
+    return "xla"
+
+
 def resolve_phase1_cap(cfg: Config) -> int:
     """Effective phase-1 iteration cap (0 = two-phase disabled).
 
@@ -847,13 +869,24 @@ def run_combination(
     batch = min(batch, trials)
     # Two-phase straggler re-decode (bit-identical to a single full-cap run,
     # see resolve_phase1_cap) is only wired for the default single-device
-    # factory; mesh factories run single-phase, and the fused Pallas path
-    # already exits early per batch tile.
-    phase1_cap = (
-        resolve_phase1_cap(cfg)
-        if step_factory is None and not cfg.use_pallas
-        else 0
-    )
+    # factory; mesh factories run single-phase. The VMEM-fused Pallas
+    # engines already exit early per batch tile (and the mc kernel's
+    # in-kernel PRNG cannot re-decode the same frames), but the streaming
+    # engine decodes host-generated keys in groups that iterate to their
+    # *max* converging frame — an explicit tpu.phase1_iterations clips that
+    # tail and re-decodes stragglers in compact groups (auto mode stays off
+    # to avoid a second kernel compile for marginal gain).
+    phase1_cap = 0
+    if step_factory is None:
+        if not cfg.use_pallas:
+            phase1_cap = resolve_phase1_cap(cfg)
+        elif (
+            cfg.phase1_iterations > 0
+            and pallas_engine(matrix, cfg) == "stream"
+        ):
+            phase1_cap = min(
+                cfg.phase1_iterations, cfg.decoding_alg_max_iterations
+            )
     if step_factory is not None:
         if resolve_phase1_cap(cfg) and not cfg.use_pallas:
             logger.warning(

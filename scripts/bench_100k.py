@@ -50,6 +50,7 @@ def main() -> int:
     alpha = float(opts.get("alpha", ALPHA))
     matrix_path = Path(opts.get("matrix", MATRIX))
     use_pallas = opts.get("pallas", "1") not in ("0", "false")
+    phase1 = int(opts.get("phase1", "-1"))  # -1 auto (XLA engines only)
     print(f"device: {jax.devices()[0]} dtype={dtype} alpha={alpha} "
           f"batch={batch} pallas={use_pallas}", file=sys.stderr)
     matrix = read_sparse_matrix_alist(matrix_path)
@@ -64,6 +65,7 @@ def main() -> int:
             batch_size=batch,
             dtype=dtype,
             use_pallas=use_pallas,
+            phase1_iterations=phase1,
         )
 
     comb = SimCombination(QBER, HMatrixParams(), ScalingFactors(primary=alpha))

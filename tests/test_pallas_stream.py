@@ -354,6 +354,46 @@ def test_driver_rate_adaptive_stream(monkeypatch, irregular):
     assert r_stream.iter_success_mean == r_xla.iter_success_mean
 
 
+def test_driver_stream_two_phase(monkeypatch, irregular):
+    """Explicit tpu.phase1_iterations under the streaming engine: phase-1
+    clip + straggler re-decode must reproduce the single-phase results
+    exactly (BP from the same init is deterministic)."""
+    from qkd_ldpc_v_tpu import simulation
+    from qkd_ldpc_v_tpu.ops import pallas_generic, pallas_stream
+    from qkd_ldpc_v_tpu.rate_adapt import HMatrixParams
+
+    monkeypatch.setattr(
+        pallas_generic, "generic_plan_feasible", lambda m: False
+    )
+    monkeypatch.setattr(pallas_stream, "stream_feasible", lambda m: True)
+    orig = pallas_stream.make_pallas_stream_trial
+    monkeypatch.setattr(
+        pallas_stream, "make_pallas_stream_trial",
+        lambda *a, **k: orig(*a, cap_rows=CAP_ROWS, transport="f32", **k),
+    )
+
+    def cfg(phase1):
+        return Config(
+            trials_number=16,
+            simulation_seed=5,
+            decoding_algorithm=DecodingAlgorithm.NMSA,
+            decoding_alg_max_iterations=30,
+            r_qber_ranges=(RQBERRange(0.99, 0.05, 0.05, 0.01),),
+            batch_size=16,
+            use_pallas=True,
+            phase1_iterations=phase1,
+        )
+
+    comb = simulation.SimCombination(
+        0.05, HMatrixParams(), simulation.ScalingFactors(primary=0.8)
+    )
+    r1 = simulation.run_combination(irregular, comb, cfg(0), sim_number=0)
+    r2 = simulation.run_combination(irregular, comb, cfg(3), sim_number=0)
+    assert r1.ratio_trials_success_ldpc == r2.ratio_trials_success_ldpc
+    assert r1.iter_success_mean == r2.iter_success_mean
+    assert r1.iter_success_max == r2.iter_success_max
+
+
 def test_driver_selects_stream(monkeypatch, irregular):
     """With the generic kernel gated out, the driver's use_pallas path picks
     the streaming trial kernel; on identical host-generated keys it must
