@@ -8,6 +8,11 @@ XLA decoder with two-phase straggler re-decode. Usage:
 
     python scripts/bench_100k.py [batch] [trials] [--dtype=float32|bfloat16]
                                  [--alpha=0.8] [--matrix=path] [--pallas=0|1]
+                                 [--phase1=N]
+
+Keep batch <= 64 on the streaming path: the kernel decodes sequential
+8-frame groups (throughput is flat in batch), and modules with larger
+batches currently crash the tunnel's remote compile helper.
 """
 
 import sys

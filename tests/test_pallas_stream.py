@@ -354,6 +354,55 @@ def test_driver_rate_adaptive_stream(monkeypatch, irregular):
     assert r_stream.iter_success_mean == r_xla.iter_success_mean
 
 
+def test_mesh_factory_selects_stream(monkeypatch, irregular):
+    """The data-mesh step factory builds through the same _build_step, so
+    the streaming engine must work sharded: mesh results == single-device
+    results on identical chunk PRNG keys (f32 transport is exact)."""
+    from qkd_ldpc_v_tpu import simulation
+    from qkd_ldpc_v_tpu.ops import pallas_generic, pallas_stream
+    from qkd_ldpc_v_tpu.parallel import make_data_mesh, mesh_step_factory
+    from qkd_ldpc_v_tpu.rate_adapt import HMatrixParams
+
+    monkeypatch.setattr(
+        pallas_generic, "generic_plan_feasible", lambda m: False
+    )
+    monkeypatch.setattr(pallas_stream, "stream_feasible", lambda m: True)
+    orig = pallas_stream.make_pallas_stream_trial
+    called = []
+    monkeypatch.setattr(
+        pallas_stream, "make_pallas_stream_trial",
+        lambda *a, **k: called.append(1) or orig(
+            *a, cap_rows=CAP_ROWS, transport="f32", **k
+        ),
+    )
+
+    cfg = Config(
+        trials_number=16,
+        simulation_seed=5,
+        decoding_algorithm=DecodingAlgorithm.NMSA,
+        decoding_alg_max_iterations=30,
+        r_qber_ranges=(RQBERRange(0.99, 0.05, 0.05, 0.01),),
+        batch_size=16,
+        use_pallas=True,
+    )
+    comb = simulation.SimCombination(
+        0.05, HMatrixParams(), simulation.ScalingFactors(primary=0.8)
+    )
+    mesh = make_data_mesh()
+    r_mesh = simulation.run_combination(
+        irregular, comb, cfg, sim_number=0,
+        step_factory=mesh_step_factory(mesh),
+    )
+    assert called, "mesh factory did not select the streaming kernel"
+    r_single = simulation.run_combination(
+        irregular, comb, cfg, sim_number=0
+    )
+    assert (
+        r_mesh.ratio_trials_success_ldpc == r_single.ratio_trials_success_ldpc
+    )
+    assert r_mesh.iter_success_mean == r_single.iter_success_mean
+
+
 def test_driver_stream_two_phase(monkeypatch, irregular):
     """Explicit tpu.phase1_iterations under the streaming engine: phase-1
     clip + straggler re-decode must reproduce the single-phase results
