@@ -7,8 +7,11 @@ measured through the real driver (run_combination):
   * headline — a QC-PEG code (models/qc.py; N=10240, R=0.70, Z=512, CW=4,
     f_EC = 1.54 — inside the reference's swept efficiency range 1.12-1.85)
     through the fused Pallas decoder (ops/pallas_qc.py) at its tuned
-    alpha = 0.65; FER at this point is ~0 (no failures observed at 1e4+
-    trials), far below the reference's PEG alist code at its alpha = 0.8.
+    alpha = 0.65, layered (serial-C) schedule — the performance mode that
+    halves sweeps at equal-or-better FER; FER at this point is ~0 (0 fails
+    at 2e5 trials), far below the reference's PEG alist code at its
+    alpha = 0.8. The same point under the reference's flooding schedule is
+    reported as ``qc_flooding_frames_per_s`` (the parity-semantics number).
   * alist — the reference's own alist matrix (its production code family)
     through the best available engine, for like-for-like comparison on the
     reference's exact workload. Always measured; reported in the same JSON
@@ -110,6 +113,7 @@ def main() -> int:
 
     batch = int(os.environ.get("BENCH_BATCH", "196608"))
     steps = int(os.environ.get("BENCH_STEPS", "1"))
+    schedule = os.environ.get("BENCH_SCHEDULE", "layered")
 
     dev = jax.devices()[0]
     print(f"bench: device={dev.platform}:{dev.device_kind}", file=sys.stderr)
@@ -119,8 +123,16 @@ def main() -> int:
         base_bits=20, base_checks=6, lifting=512, column_weight=4, seed=9
     ).to_hmatrix()
     fps, fer = _measure(
-        qc_matrix, QC_ALPHA, {"use_pallas": True}, batch, steps, "qc-pallas"
+        qc_matrix, QC_ALPHA, {"use_pallas": True, "schedule": schedule},
+        batch, steps, "qc-pallas",
     )
+    flood_fields = {}
+    if schedule == "layered" and os.environ.get("BENCH_FLOODING", "1") != "0":
+        ffps, ffer = _measure(
+            qc_matrix, QC_ALPHA, {"use_pallas": True}, batch, steps,
+            "qc-flooding",
+        )
+        flood_fields = {"qc_flooding_frames_per_s": round(ffps, 1)}
 
     # The reference's own matrix (alist PEG): always measured so the round
     # record tracks the weakest, most comparable number too.
@@ -161,6 +173,7 @@ def main() -> int:
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / TARGET_FRAMES_PER_S, 4),
+        **flood_fields,
         **alist_fields,
         **stream_fields,
     }))

@@ -98,11 +98,17 @@ TPU extensions (optional "tpu" object; defaults keep reference semantics):
                                 (0 = all trials at once).
   tpu.dtype                     float32 | float64 | bfloat16. Decoder message
                                 precision (float64 = reference-parity mode).
-  tpu.use_pallas                bool. Route quasi-cyclic matrices through
-                                the fused Pallas decoder kernels.
+  tpu.use_pallas                bool. Route matrices through the fused
+                                Pallas decoder engines (QC, generic, or
+                                streaming — picked by feasibility).
   tpu.phase1_iterations         int. Exact two-phase straggler re-decode:
                                 -1 auto (cap/2 when cap >= 64), 0 off,
                                 >0 explicit phase-1 cap.
+  tpu.schedule                  flooding | layered. "layered" (serial-C)
+                                halves decoding sweeps at equal-or-better
+                                FER (fused QC kernel, NMSA/OMSA only;
+                                otherwise warns and floods). "flooding"
+                                is the reference's schedule.
 
 Results: one CSV per config in the results directory, semicolon-separated
 with comma decimal marks; filename encodes trials, algorithm, iteration cap,

@@ -214,6 +214,12 @@ class Config:
     # |LLR| ~ 9 and atanh(1) = inf — see tests/test_decoders.py).
     dtype: str = "float32"
     use_pallas: bool = False  # opt into fused Pallas kernels where available
+    # Message-passing schedule: "flooding" is the reference's (parity
+    # contract); "layered" (serial-C) is a performance mode — the fused QC
+    # kernel processes block-rows in sequence, updating bit totals within
+    # the sweep, converging in ~half the iterations at equal-or-better FER
+    # (NMSA/OMSA only; other engines/algorithms warn and flood).
+    schedule: str = "flooding"
     # Two-phase straggler re-decode: phase 1 runs the whole batch to this
     # iteration cap; unconverged frames are re-decoded from scratch in a
     # small batch at the full cap. Bit-identical to a single full-cap decode
@@ -563,6 +569,9 @@ def parse_config_data(config_path) -> Config:
         raise ConfigError("tpu.dtype must be one of float32|float64|bfloat16")
     use_pallas = bool(tpu.get("use_pallas", False))
     phase1_iterations = int(tpu.get("phase1_iterations", -1))
+    schedule = str(tpu.get("schedule", "flooding"))
+    if schedule not in ("flooding", "layered"):
+        raise ConfigError("tpu.schedule must be flooding|layered")
 
     return Config(
         threads_number=threads_number,
@@ -592,6 +601,7 @@ def parse_config_data(config_path) -> Config:
         dtype=dtype,
         use_pallas=use_pallas,
         phase1_iterations=phase1_iterations,
+        schedule=schedule,
     )
 
 

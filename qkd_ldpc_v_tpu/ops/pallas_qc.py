@@ -94,7 +94,19 @@ def _build(
     batch_tile: int,
     interpret: bool,
     mode: str,  # "decode" | "trial" | "mc"
+    schedule: str = "flooding",  # "flooding" | "layered"
 ):
+    if schedule not in ("flooding", "layered"):
+        raise ValueError(f"unknown schedule {schedule!r}")
+    layered = schedule == "layered"
+    if layered and algorithm not in (
+        DecodingAlgorithm.NMSA, DecodingAlgorithm.OMSA
+    ):
+        # The layered (serial-C) schedule is a performance mode beyond the
+        # reference (which floods); the adaptive pair's previous-decision
+        # factor and SPA's product exclusion are defined against a flooding
+        # sweep, so they keep the reference schedule.
+        raise ValueError("layered schedule supports NMSA/OMSA only")
     dtype = jnp.dtype(jnp.float32)
     z = qc.lifting
     nb, mb = qc.base_bits, qc.base_checks
@@ -230,9 +242,15 @@ def _build(
             return jnp.where(syn_s[r] == 1, -1.0, 1.0).astype(dtype)
 
         # ---- init: check-aligned channel LLRs, initial decisions ----
+        # Layered: msg holds check->bit extrinsics (zero before the first
+        # sweep) and llr_s doubles as the running bit totals; flooding: msg
+        # holds check-aligned bit->check messages (channel LLRs).
         for r in range(mb):
             for (e, c, s) in rows[r]:
-                msg[e] = pltpu.roll(llr_s[c], (-s) % z, axis=1)
+                if layered:
+                    msg[e] = jnp.zeros((tb, z), dtype)
+                else:
+                    msg[e] = pltpu.roll(llr_s[c], (-s) % z, axis=1)
         for c in range(nb):
             d0 = (llr_s[c] <= 0).astype(jnp.int32)
             dec[c] = d0
@@ -302,6 +320,47 @@ def _build(
                         clamp(total - ep, threshold), (-s) % z, axis=1
                     )
 
+        def layered_sweep():
+            """Serial-C (layered) min-sum sweep: process block-rows in
+            sequence; each row reads the *current* bit totals and updates
+            them immediately, so information propagates within a sweep —
+            ~2x fewer sweeps than flooding at equal FER (docs/KERNEL.md).
+            A performance mode beyond the reference's flooding schedule."""
+            for r in range(mb):
+                msgs = [
+                    pltpu.roll(llr_s[c], (-s) % z, axis=1) - msg[e]
+                    for (e, c, s) in rows[r]
+                ]
+                ss = syn_sign_block(r)
+                a = [jnp.abs(mm) for mm in msgs]
+                min1 = a[0]
+                min2 = jnp.full_like(min1, big)
+                for ai in a[1:]:
+                    min2 = jnp.minimum(min2, jnp.maximum(min1, ai))
+                    min1 = jnp.minimum(min1, ai)
+                neg = jnp.zeros(min1.shape, jnp.int32)
+                for mm in msgs:
+                    neg = neg + (mm < 0).astype(jnp.int32)
+                row_sign = ss * jnp.where(
+                    neg % 2 == 0, 1.0, -1.0
+                ).astype(dtype)
+                for (e, c, s), mm, ai in zip(rows[r], msgs, a):
+                    excl = jnp.where(mm > 0, 1.0, -1.0).astype(dtype)
+                    eabs = jnp.where(ai == min1, min2, min1)
+                    if algorithm == DecodingAlgorithm.NMSA:
+                        val = primary * row_sign * excl * eabs
+                    else:  # OMSA
+                        val = row_sign * excl * jnp.maximum(
+                            eabs - primary, 0.0
+                        )
+                    val = clamp(val.astype(dtype), threshold)
+                    llr_s[c] = llr_s[c] + pltpu.roll(
+                        val - msg[e], s % z, axis=1
+                    )
+                    msg[e] = val
+            for c in range(nb):
+                dec[c] = (llr_s[c] <= 0).astype(jnp.int32)
+
         # Carries are int32 (TB, 1) columns: Mosaic rejects bool vectors in
         # while-loop carries.
         def frames_ok_i32(mismatches):
@@ -315,7 +374,18 @@ def _build(
             for c in range(nb):
                 frz[c] = jnp.where(newly != 0, dec[c], frz[c])
 
-        if not adaptive:
+        if layered:
+
+            def body(carry):
+                it, converged, iters = carry
+                layered_sweep()
+                ok = frames_ok_i32([dsyn_mismatch(r) for r in range(mb)])
+                newly = ok * (1 - converged)
+                iters = jnp.where(newly != 0, it + 1, iters)
+                freeze(newly)
+                return it + 1, jnp.maximum(converged, ok), iters
+
+        elif not adaptive:
 
             def body(carry):
                 it, converged, iters = carry
@@ -459,6 +529,7 @@ def make_pallas_qc_decoder(
     dtype=jnp.float32,
     batch_tile: int = 16,
     interpret: bool = False,
+    schedule: str = "flooding",
 ) -> Callable[..., DecodeResult]:
     """Fused decode kernel. Same call signature as make_decoder:
     ``decode(llr_ext [B,N], syndrome_ext [B,M] int8, primary, secondary,
@@ -467,7 +538,7 @@ def make_pallas_qc_decoder(
         raise ValueError("pallas QC decoder is float32-only")
     call, fdtype, tb, n, m = _build(
         qc, algorithm, max_iterations, use_threshold, batch_tile, interpret,
-        mode="decode",
+        mode="decode", schedule=schedule,
     )
 
     def _impl(llr_ext, syndrome_ext, prim, sec, thr) -> DecodeResult:
@@ -524,6 +595,7 @@ def make_pallas_qc_trial(
     use_threshold: bool,
     batch_tile: int = 16,
     interpret: bool = False,
+    schedule: str = "flooding",
 ) -> Callable:
     """Fused Monte-Carlo trial kernel (the sweep driver's hot path).
 
@@ -537,7 +609,7 @@ def make_pallas_qc_trial(
     """
     call, fdtype, tb, n, m = _build(
         qc, algorithm, max_iterations, use_threshold, batch_tile, interpret,
-        mode="trial",
+        mode="trial", schedule=schedule,
     )
 
     def _impl(alice, bob, qb, prim, sec, thr):
@@ -590,6 +662,7 @@ def make_pallas_qc_montecarlo(
     batch: int,
     batch_tile: int = 24,
     interpret: bool = False,
+    schedule: str = "flooding",
 ) -> Callable:
     """Fully in-kernel Monte-Carlo trials: PRNG, channel, decode, stats.
 
@@ -609,7 +682,7 @@ def make_pallas_qc_montecarlo(
     padded = batch + pad
     call, fdtype, tb, n, m = _build(
         qc, algorithm, max_iterations, use_threshold, batch_tile, interpret,
-        mode="mc",
+        mode="mc", schedule=schedule,
     )
 
     def _impl(sd, ne, qb, prim, sec, thr):
@@ -653,6 +726,7 @@ def make_pallas_qc_frame_trial(
     use_threshold: bool,
     batch_tile: int = 16,
     interpret: bool = False,
+    schedule: str = "flooding",
 ) -> Callable:
     """Fused trial kernel for prebuilt frames (the rate-adaptive driver path).
 
@@ -665,7 +739,7 @@ def make_pallas_qc_frame_trial(
     """
     call, fdtype, tb, n, m = _build(
         qc, algorithm, max_iterations, use_threshold, batch_tile, interpret,
-        mode="frame",
+        mode="frame", schedule=schedule,
     )
 
     def _impl(alice_frame, llr, prim, sec, thr):

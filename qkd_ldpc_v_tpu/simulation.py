@@ -309,6 +309,7 @@ def _build_step(
     dtype,
     select_size: int = 0,
     use_pallas: bool = False,
+    schedule: str = "flooding",
 ) -> Callable:
     """One device program for one batch of Monte-Carlo trials.
 
@@ -356,17 +357,30 @@ def _build_step(
 
         stream_active = stream_feasible(matrix)
     pallas_active = qc_active or generic_active or stream_active
+    if schedule == "layered" and not (
+        qc_active
+        and algorithm in (DecodingAlgorithm.NMSA, DecodingAlgorithm.OMSA)
+    ):
+        # Layered is the fused QC kernel's performance mode (NMSA/OMSA);
+        # everything else keeps the reference's flooding schedule.
+        logger.warning(
+            "tpu.schedule = layered needs the fused QC kernel and NMSA or "
+            "OMSA; using the flooding schedule for this combination."
+        )
+        schedule = "flooding"
     if qc_active:
         from qkd_ldpc_v_tpu.ops import pallas_qc as _pk
 
         mk_mc = lambda *a, **k: _pk.make_pallas_qc_montecarlo(  # noqa: E731
-            matrix.qc, *a, batch_tile=qc_tile, **k
+            matrix.qc, *a, batch_tile=qc_tile, schedule=schedule, **k
         )
         mk_trial = lambda *a, **k: _pk.make_pallas_qc_trial(  # noqa: E731
-            matrix.qc, *a, batch_tile=min(qc_tile, 16), **k
+            matrix.qc, *a, batch_tile=min(qc_tile, 16), schedule=schedule,
+            **k
         )
         mk_frame = lambda *a, **k: _pk.make_pallas_qc_frame_trial(  # noqa: E731
-            matrix.qc, *a, batch_tile=min(qc_tile, 16), **k
+            matrix.qc, *a, batch_tile=min(qc_tile, 16), schedule=schedule,
+            **k
         )
     elif generic_active:
         from qkd_ldpc_v_tpu.ops import pallas_generic as _pg
@@ -569,6 +583,7 @@ def get_step(
         cfg.dtype,
         select_size,
         cfg.use_pallas,
+        cfg.schedule,
     )
     entry = _STEP_CACHE.get(key)
     if entry is not None and entry[0] is matrix:
@@ -586,6 +601,7 @@ def get_step(
             cfg.dtype,
             select_size=select_size,
             use_pallas=cfg.use_pallas,
+            schedule=cfg.schedule,
         )
     )
     _STEP_CACHE[key] = (matrix, fn)
@@ -1153,6 +1169,7 @@ def _campaign_fingerprint(sim_inputs: Sequence[SimInput], cfg: Config) -> str:
                 # kernel), so a resumed checkpoint must not mix them.
                 cfg.batch_size,
                 cfg.use_pallas,
+                cfg.schedule,
             )
         )
     ]

@@ -110,3 +110,137 @@ def test_mc_kth_selection_algorithm():
         assert sel.sum() == k
         # t is the k-th smallest key
         assert t == np.sort(keys)[k - 1]
+
+
+# ---------------------------------------------------------------------------
+# Layered (serial-C) schedule — the QC kernel's performance mode
+# ---------------------------------------------------------------------------
+
+
+def _layered_oracle(qc, llr_f, syn_f, alg, factor, cap):
+    """f32 NumPy layered sweep in kernel edge order (block-rows in
+    sequence, edges within a row in storage order) — the specification of
+    pallas_qc's layered_sweep."""
+    from qkd_ldpc_v_tpu.ops.pallas_qc import _base_tables
+
+    z, nb, mb = qc.lifting, qc.base_bits, qc.base_checks
+    rows, _, num_be = _base_tables(qc)
+    total = llr_f.reshape(nb, z).astype(np.float32).copy()
+    c2b = np.zeros((num_be, z), np.float32)
+    synb = syn_f.reshape(mb, z)
+    big = np.float32(np.finfo(np.float32).max)
+    for it in range(1, cap + 1):
+        for r in range(mb):
+            msgs = [
+                np.roll(total[c], -(s % z)) - c2b[e] for (e, c, s) in rows[r]
+            ]
+            a = np.abs(msgs)
+            min1 = a[0].copy()
+            min2 = np.full(z, big)
+            for ai in a[1:]:
+                min2 = np.minimum(min2, np.maximum(min1, ai))
+                min1 = np.minimum(min1, ai)
+            neg = sum((mm < 0).astype(np.int32) for mm in msgs)
+            ss = np.where(synb[r] == 1, -1.0, 1.0).astype(np.float32)
+            row_sign = ss * np.where(neg % 2 == 0, 1.0, -1.0).astype(
+                np.float32
+            )
+            for (e, c, s), mm, ai in zip(rows[r], msgs, a):
+                excl = np.where(mm > 0, 1.0, -1.0).astype(np.float32)
+                eabs = np.where(ai == min1, min2, min1)
+                if alg == DecodingAlgorithm.NMSA:
+                    val = (np.float32(factor) * row_sign * excl * eabs
+                           ).astype(np.float32)
+                else:
+                    val = (row_sign * excl * np.maximum(
+                        eabs - np.float32(factor), np.float32(0))
+                    ).astype(np.float32)
+                total[c] = (total[c] + np.roll(val - c2b[e], s % z)
+                            ).astype(np.float32)
+                c2b[e] = val
+        dec = (total <= 0).astype(np.int8)
+        ok = True
+        for r in range(mb):
+            acc = np.zeros(z, np.int8)
+            for (e, c, s) in rows[r]:
+                acc = acc ^ np.roll(dec[c], -(s % z))
+            if not np.array_equal(acc, synb[r]):
+                ok = False
+        if ok:
+            return dec.reshape(-1), it, True
+    return dec.reshape(-1), cap, False
+
+
+@pytest.mark.parametrize("algorithm,factor", [
+    (DecodingAlgorithm.NMSA, 0.8),
+    (DecodingAlgorithm.OMSA, 0.3),
+])
+def test_layered_matches_numpy_oracle(qc, channel, algorithm, factor):
+    alice, llr, syn = channel
+    dec = jax.jit(make_pallas_qc_decoder(
+        qc, algorithm, 30, False, batch_tile=8, interpret=True,
+        schedule="layered",
+    ))
+    rk = dec(llr, syn, factor, 1.0, 0.0)
+    for f in range(alice.shape[0]):
+        d_o, it_o, conv_o = _layered_oracle(
+            qc, np.asarray(llr)[f], np.asarray(syn)[f], algorithm, factor, 30
+        )
+        assert bool(np.asarray(rk.syndromes_match)[f]) == conv_o
+        assert int(np.asarray(rk.iterations)[f]) == it_o
+        np.testing.assert_array_equal(np.asarray(rk.decision)[f], d_o)
+
+
+def test_layered_converges_faster(qc, channel):
+    """The point of the mode: ~2x fewer sweeps than flooding."""
+    alice, llr, syn = channel
+    flood = jax.jit(make_pallas_qc_decoder(
+        qc, DecodingAlgorithm.NMSA, 30, False, batch_tile=8, interpret=True,
+    ))
+    lay = jax.jit(make_pallas_qc_decoder(
+        qc, DecodingAlgorithm.NMSA, 30, False, batch_tile=8, interpret=True,
+        schedule="layered",
+    ))
+    rf = flood(llr, syn, 0.8, 1.0, 0.0)
+    rl = lay(llr, syn, 0.8, 1.0, 0.0)
+    assert np.asarray(rl.syndromes_match).all()
+    assert (
+        np.asarray(rl.iterations).mean() < np.asarray(rf.iterations).mean()
+    )
+    # converged layered frames recover Alice's key at this easy point
+    np.testing.assert_array_equal(np.asarray(rl.decision), np.asarray(alice))
+
+
+def test_layered_rejects_unsupported(qc):
+    with pytest.raises(ValueError, match="layered"):
+        make_pallas_qc_decoder(
+            qc, DecodingAlgorithm.AOMSA, 30, False, interpret=True,
+            schedule="layered",
+        )
+
+
+def test_driver_layered_falls_back_with_warning(qc, caplog):
+    """SPA + layered: the driver warns and floods (reference semantics)."""
+    import logging
+
+    from qkd_ldpc_v_tpu.config import Config, RQBERRange
+    from qkd_ldpc_v_tpu.rate_adapt import HMatrixParams
+    from qkd_ldpc_v_tpu.simulation import (
+        ScalingFactors, SimCombination, run_combination,
+    )
+
+    cfg = Config(
+        trials_number=8,
+        simulation_seed=3,
+        decoding_algorithm=DecodingAlgorithm.SPA,
+        decoding_alg_max_iterations=30,
+        r_qber_ranges=(RQBERRange(0.99, 0.02, 0.02, 0.01),),
+        batch_size=8,
+        use_pallas=True,
+        schedule="layered",
+    )
+    comb = SimCombination(0.02, HMatrixParams(), ScalingFactors())
+    with caplog.at_level(logging.WARNING, logger="qkd_ldpc_v_tpu"):
+        res = run_combination(qc.to_hmatrix(), comb, cfg, sim_number=0)
+    assert any("layered" in r.message for r in caplog.records)
+    assert 0.0 <= res.ratio_trials_success_ldpc <= 1.0
