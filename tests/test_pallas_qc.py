@@ -219,6 +219,27 @@ def test_layered_rejects_unsupported(qc):
         )
 
 
+def test_layered_frame_mode_runs(qc):
+    """Rate-adaptive frame kernel under the layered schedule: decodes an
+    easy point to Alice's keys."""
+    from qkd_ldpc_v_tpu.ops.pallas_qc import make_pallas_qc_frame_trial
+
+    rng = np.random.default_rng(17)
+    n = qc.num_bit_nodes
+    alice = jnp.asarray(rng.integers(0, 2, (6, n)), jnp.int8)
+    bob = alice ^ jnp.asarray(rng.random((6, n)) < 0.02, jnp.int8)
+    log_p = float(np.log(0.98 / 0.02))
+    llr = jnp.where(bob == 1, -log_p, log_p).astype(jnp.float32)
+    frame = jax.jit(make_pallas_qc_frame_trial(
+        qc, DecodingAlgorithm.NMSA, 30, False,
+        batch_tile=8, interpret=True, schedule="layered",
+    ))
+    conv, keys, iters = frame(alice, llr, 0.8, 1.0, 0.0)
+    assert np.asarray(conv).all()
+    assert np.asarray(keys).all()
+    assert (np.asarray(iters) <= 30).all()
+
+
 def test_driver_layered_falls_back_with_warning(qc, caplog):
     """SPA + layered: the driver warns and floods (reference semantics)."""
     import logging
