@@ -218,7 +218,8 @@ class Config:
     # contract); "layered" (serial-C) is a performance mode — the fused QC
     # kernel processes block-rows in sequence, updating bit totals within
     # the sweep, converging in ~half the iterations at equal-or-better FER
-    # (NMSA/OMSA only; other engines/algorithms warn and flood).
+    # (min-sum family; the adaptive pair's factor uses *current* decisions.
+    # SPA and the other engines warn and flood).
     schedule: str = "flooding"
     # Two-phase straggler re-decode: phase 1 runs the whole batch to this
     # iteration cap; unconverged frames are re-decoded from scratch in a

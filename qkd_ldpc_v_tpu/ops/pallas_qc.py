@@ -99,14 +99,18 @@ def _build(
     if schedule not in ("flooding", "layered"):
         raise ValueError(f"unknown schedule {schedule!r}")
     layered = schedule == "layered"
-    if layered and algorithm not in (
-        DecodingAlgorithm.NMSA, DecodingAlgorithm.OMSA
+    if layered and algorithm in (
+        DecodingAlgorithm.SPA, DecodingAlgorithm.SPA_APPROX
     ):
         # The layered (serial-C) schedule is a performance mode beyond the
-        # reference (which floods); the adaptive pair's previous-decision
-        # factor and SPA's product exclusion are defined against a flooding
-        # sweep, so they keep the reference schedule.
-        raise ValueError("layered schedule supports NMSA/OMSA only")
+        # reference (which floods). The min-sum family is supported; for
+        # the adaptive pair the per-check factor comes from the *current*
+        # decisions (free in a layered sweep — the rolled totals are
+        # already in hand), the layered analogue of the reference's
+        # previous-decision rule. SPA's tanh-product exclusion keeps the
+        # reference schedule.
+        raise ValueError("layered schedule supports the min-sum family "
+                         "(NMSA/OMSA/ANMSA/AOMSA) only")
     dtype = jnp.dtype(jnp.float32)
     z = qc.lifting
     nb, mb = qc.base_bits, qc.base_checks
@@ -327,11 +331,28 @@ def _build(
             ~2x fewer sweeps than flooding at equal FER (docs/KERNEL.md).
             A performance mode beyond the reference's flooding schedule."""
             for r in range(mb):
-                msgs = [
-                    pltpu.roll(llr_s[c], (-s) % z, axis=1) - msg[e]
+                rolled = [
+                    pltpu.roll(llr_s[c], (-s) % z, axis=1)
                     for (e, c, s) in rows[r]
                 ]
+                msgs = [
+                    rt - msg[e] for rt, (e, c, s) in zip(rolled, rows[r])
+                ]
                 ss = syn_sign_block(r)
+                if adaptive:
+                    # Per-check factor from the *current* decisions — the
+                    # rolled totals are the decision inputs, so this costs
+                    # one compare/xor chain, no extra rolls.
+                    acc = None
+                    for rt in rolled:
+                        b = (rt <= 0).astype(jnp.int32)
+                        acc = b if acc is None else acc ^ b
+                    mism = acc ^ syn_s[r]
+                    f = jnp.where(mism != 0, secondary, primary).astype(
+                        dtype
+                    )
+                else:
+                    f = primary
                 a = [jnp.abs(mm) for mm in msgs]
                 min1 = a[0]
                 min2 = jnp.full_like(min1, big)
@@ -347,12 +368,12 @@ def _build(
                 for (e, c, s), mm, ai in zip(rows[r], msgs, a):
                     excl = jnp.where(mm > 0, 1.0, -1.0).astype(dtype)
                     eabs = jnp.where(ai == min1, min2, min1)
-                    if algorithm == DecodingAlgorithm.NMSA:
-                        val = primary * row_sign * excl * eabs
-                    else:  # OMSA
-                        val = row_sign * excl * jnp.maximum(
-                            eabs - primary, 0.0
-                        )
+                    if algorithm in (
+                        DecodingAlgorithm.NMSA, DecodingAlgorithm.ANMSA
+                    ):
+                        val = f * row_sign * excl * eabs
+                    else:  # OMSA / AOMSA: offset, clamp at zero
+                        val = row_sign * excl * jnp.maximum(eabs - f, 0.0)
                     val = clamp(val.astype(dtype), threshold)
                     llr_s[c] = llr_s[c] + pltpu.roll(
                         val - msg[e], s % z, axis=1

@@ -359,13 +359,15 @@ def _build_step(
     pallas_active = qc_active or generic_active or stream_active
     if schedule == "layered" and not (
         qc_active
-        and algorithm in (DecodingAlgorithm.NMSA, DecodingAlgorithm.OMSA)
+        and algorithm
+        not in (DecodingAlgorithm.SPA, DecodingAlgorithm.SPA_APPROX)
     ):
-        # Layered is the fused QC kernel's performance mode (NMSA/OMSA);
-        # everything else keeps the reference's flooding schedule.
+        # Layered is the fused QC kernel's performance mode (min-sum
+        # family); everything else keeps the reference's flooding schedule.
         logger.warning(
-            "tpu.schedule = layered needs the fused QC kernel and NMSA or "
-            "OMSA; using the flooding schedule for this combination."
+            "tpu.schedule = layered needs the fused QC kernel and a "
+            "min-sum algorithm; using the flooding schedule for this "
+            "combination."
         )
         schedule = "flooding"
     if qc_active:

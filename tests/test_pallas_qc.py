@@ -117,7 +117,7 @@ def test_mc_kth_selection_algorithm():
 # ---------------------------------------------------------------------------
 
 
-def _layered_oracle(qc, llr_f, syn_f, alg, factor, cap):
+def _layered_oracle(qc, llr_f, syn_f, alg, factor, cap, secondary=1.0):
     """f32 NumPy layered sweep in kernel edge order (block-rows in
     sequence, edges within a row in storage order) — the specification of
     pallas_qc's layered_sweep."""
@@ -145,15 +145,25 @@ def _layered_oracle(qc, llr_f, syn_f, alg, factor, cap):
             row_sign = ss * np.where(neg % 2 == 0, 1.0, -1.0).astype(
                 np.float32
             )
+            if alg in (DecodingAlgorithm.ANMSA, DecodingAlgorithm.AOMSA):
+                acc = np.zeros(z, np.int32)
+                for (e, c, s) in rows[r]:
+                    acc = acc ^ (np.roll(total[c], -(s % z)) <= 0).astype(
+                        np.int32
+                    )
+                mism = acc ^ synb[r]
+                f = np.where(mism != 0, np.float32(secondary),
+                             np.float32(factor)).astype(np.float32)
+            else:
+                f = np.float32(factor)
             for (e, c, s), mm, ai in zip(rows[r], msgs, a):
                 excl = np.where(mm > 0, 1.0, -1.0).astype(np.float32)
                 eabs = np.where(ai == min1, min2, min1)
-                if alg == DecodingAlgorithm.NMSA:
-                    val = (np.float32(factor) * row_sign * excl * eabs
-                           ).astype(np.float32)
+                if alg in (DecodingAlgorithm.NMSA, DecodingAlgorithm.ANMSA):
+                    val = (f * row_sign * excl * eabs).astype(np.float32)
                 else:
                     val = (row_sign * excl * np.maximum(
-                        eabs - np.float32(factor), np.float32(0))
+                        eabs - f, np.float32(0))
                     ).astype(np.float32)
                 total[c] = (total[c] + np.roll(val - c2b[e], s % z)
                             ).astype(np.float32)
@@ -171,20 +181,24 @@ def _layered_oracle(qc, llr_f, syn_f, alg, factor, cap):
     return dec.reshape(-1), cap, False
 
 
-@pytest.mark.parametrize("algorithm,factor", [
-    (DecodingAlgorithm.NMSA, 0.8),
-    (DecodingAlgorithm.OMSA, 0.3),
+@pytest.mark.parametrize("algorithm,factor,secondary", [
+    (DecodingAlgorithm.NMSA, 0.8, 1.0),
+    (DecodingAlgorithm.OMSA, 0.3, 1.0),
+    (DecodingAlgorithm.ANMSA, 0.88, 0.5),
+    (DecodingAlgorithm.AOMSA, 0.3, 0.6),
 ])
-def test_layered_matches_numpy_oracle(qc, channel, algorithm, factor):
+def test_layered_matches_numpy_oracle(qc, channel, algorithm, factor,
+                                      secondary):
     alice, llr, syn = channel
     dec = jax.jit(make_pallas_qc_decoder(
         qc, algorithm, 30, False, batch_tile=8, interpret=True,
         schedule="layered",
     ))
-    rk = dec(llr, syn, factor, 1.0, 0.0)
+    rk = dec(llr, syn, factor, secondary, 0.0)
     for f in range(alice.shape[0]):
         d_o, it_o, conv_o = _layered_oracle(
-            qc, np.asarray(llr)[f], np.asarray(syn)[f], algorithm, factor, 30
+            qc, np.asarray(llr)[f], np.asarray(syn)[f], algorithm, factor,
+            30, secondary=secondary,
         )
         assert bool(np.asarray(rk.syndromes_match)[f]) == conv_o
         assert int(np.asarray(rk.iterations)[f]) == it_o
@@ -214,7 +228,7 @@ def test_layered_converges_faster(qc, channel):
 def test_layered_rejects_unsupported(qc):
     with pytest.raises(ValueError, match="layered"):
         make_pallas_qc_decoder(
-            qc, DecodingAlgorithm.AOMSA, 30, False, interpret=True,
+            qc, DecodingAlgorithm.SPA, 30, False, interpret=True,
             schedule="layered",
         )
 
