@@ -27,6 +27,13 @@ handling, min-sum sign conventions, OMSA clamp-at-zero, the adaptive pair's
 previous-decision factor selection and in-check-pass convergence, and the
 optional message clamp at the reference's program points.
 
+``schedule="layered"`` is the opt-in performance mode beyond the reference
+(which floods): block-rows process in sequence with bit totals updated
+within the sweep — ~2x fewer sweeps at equal-or-better FER; the adaptive
+pair's factor then uses the *current* decisions. Min-sum family only; the
+specification is the NumPy oracle in tests/test_pallas_qc.py. See
+docs/KERNEL.md §layered and BASELINE.md for measurements.
+
 Mosaic notes: vector rotates and while-loop carries must be 32-bit (int8
 planes and bool carries are rejected/crash), and atanh has no primitive
 (log identity used instead).
