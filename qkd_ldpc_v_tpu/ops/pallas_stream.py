@@ -62,11 +62,7 @@ from qkd_ldpc_v_tpu.ops.linapprox import (
     guard_atanh_ratio,
     tanh_lin_approx,
 )
-from qkd_ldpc_v_tpu.ops.stream_plan import (
-    LANES,
-    StreamPlan,
-    stream_plan_for,
-)
+from qkd_ldpc_v_tpu.ops.stream_plan import LANES, stream_plan_for
 
 # Check-side pad neutral: the largest finite f32 with an even mantissa —
 # never the row minimum, sign +1, decision LSB 0.
