@@ -29,7 +29,9 @@ N=102400 alist matrix through the streaming HBM-resident kernel
 Env knobs: BENCH_BATCH (default 196608), BENCH_STEPS (default 1),
 BENCH_ALIST=0 to skip the alist measurement (slow first compile),
 BENCH_ALIST_BATCH (default 8192), BENCH_100K=0 to skip the 100k
-measurement, BENCH_100K_TRIALS (default 256).
+measurement, BENCH_100K_TRIALS (default 1024 — enough 64-frame steps that
+per-step dispatch overhead stops masking the steady-state operating point;
+256 under-reported it by ~19% in round 2).
 """
 
 from __future__ import annotations
@@ -157,7 +159,7 @@ def main() -> int:
         os.environ.get("BENCH_100K", "1") != "0"
         and REFERENCE_MATRIX_100K.exists()
     ):
-        trials_100k = int(os.environ.get("BENCH_100K_TRIALS", "256"))
+        trials_100k = int(os.environ.get("BENCH_100K_TRIALS", "1024"))
         big = read_sparse_matrix_alist(REFERENCE_MATRIX_100K)
         sfps, sfer = _measure(
             big, 0.8, {"use_pallas": True}, 64,

@@ -55,6 +55,7 @@ from qkd_ldpc_v_tpu.ops.linapprox import (
     tanh_lin_approx,
 )
 from qkd_ldpc_v_tpu.ops.permute_plan import LANES, PermutePlan, build_permute_plan
+from qkd_ldpc_v_tpu.utils import PlanCache
 
 # Largest edge-space tile count the kernel accepts: three edge buffers of
 # [TB, Tn*128, 128] f32 plus planes and index tables must fit 16 MB VMEM.
@@ -225,15 +226,14 @@ def build_generic_plan(matrix: HMatrix) -> GenericPlan:
     )
 
 
-_PLAN_CACHE: dict = {}
+_PLAN_CACHE = PlanCache()
 
 
 def plan_for(matrix: HMatrix) -> GenericPlan:
-    entry = _PLAN_CACHE.get(id(matrix))
-    if entry is not None and entry[0] is matrix:
-        return entry[1]
-    plan = build_generic_plan(matrix)
-    _PLAN_CACHE[id(matrix)] = (matrix, plan)
+    plan = _PLAN_CACHE.get(matrix)
+    if plan is None:
+        plan = build_generic_plan(matrix)
+        _PLAN_CACHE.put(matrix, plan)
     return plan
 
 

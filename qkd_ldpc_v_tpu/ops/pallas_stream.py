@@ -782,24 +782,47 @@ def _build(
             iters = jnp.where(newly != 0, it_val, iters)
             kmf = jnp.where(newly != 0, km_prev, kmf)
             conv = jnp.maximum(conv, ok)
-            outs_b = call_b(
-                *bm_p2_v, *cm_p1_v, stagedbm, llr_planes, deg_b,
-                alice_planes, prim, sec, thr,
-            )
             if mode == "decode":
-                if spa:
-                    staged, dstage, km_parts, dec_planes = outs_b
-                else:
-                    staged, km_parts, dec_planes = outs_b
                 sel = (newly != 0)[None, :, :, None]
                 decf = jnp.where(sel, dec_prev, decf)
-                dec_prev = dec_planes
-            else:
-                if spa:
-                    staged, dstage, km_parts = outs_b
+
+            def bit_pass(ops):
+                stagedbm_, staged_, dstage_, km_prev_, dec_prev_ = ops
+                outs_b = call_b(
+                    *bm_p2_v, *cm_p1_v, stagedbm_, llr_planes, deg_b,
+                    alice_planes, prim, sec, thr,
+                )
+                dstage_n = dstage_
+                dec_prev_n = dec_prev_
+                if mode == "decode":
+                    if spa:
+                        staged_n, dstage_n, km_parts, dec_prev_n = outs_b
+                    else:
+                        staged_n, km_parts, dec_prev_n = outs_b
                 else:
-                    staged, km_parts = outs_b
-            km_prev = (jnp.sum(km_parts, axis=0) == 0).astype(jnp.int32)
+                    if spa:
+                        staged_n, dstage_n, km_parts = outs_b
+                    else:
+                        staged_n, km_parts = outs_b
+                km_prev_n = (jnp.sum(km_parts, axis=0) == 0).astype(jnp.int32)
+                return staged_n, dstage_n, km_prev_n, dec_prev_n
+
+            ops = (stagedbm, staged, dstage, km_prev, dec_prev)
+            if adaptive:
+                staged, dstage, km_prev, dec_prev = bit_pass(ops)
+            else:
+                # The non-adaptive loop's final pass (a_idx == cap1 ==
+                # max_iterations + 1) exists only to *check* the decisions
+                # of bit pass ``max_iterations``; running kernel B there
+                # would hand unconverged frames decisions from a
+                # never-checked extra iteration (diverging from the XLA
+                # decoder) and waste one HBM pass. Skip it.
+                staged, dstage, km_prev, dec_prev = jax.lax.cond(
+                    a_idx <= max_iterations,
+                    bit_pass,
+                    lambda o: (o[1], o[2], o[3], o[4]),
+                    ops,
+                )
             out = (staged, conv, iters, kmf, km_prev, decf, dec_prev,
                    a_idx + 1)
             return (out[:1] + (dstage,) + out[1:]) if spa else out

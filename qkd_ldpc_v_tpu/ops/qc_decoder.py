@@ -36,6 +36,7 @@ from qkd_ldpc_v_tpu.ops.linapprox import (
     guard_atanh_ratio,
     tanh_lin_approx,
 )
+from qkd_ldpc_v_tpu.utils import PlanCache
 
 
 class _QCPlan:
@@ -111,15 +112,14 @@ class _QCPlan:
         self.row_inv[self.row_order] = np.arange(self.mb)
 
 
-_PLAN_CACHE: dict = {}
+_PLAN_CACHE = PlanCache()
 
 
 def plan_for(qc: QCMatrix) -> _QCPlan:
-    entry = _PLAN_CACHE.get(id(qc))
-    if entry is not None and entry[0] is qc:
-        return entry[1]
-    plan = _QCPlan(qc)
-    _PLAN_CACHE[id(qc)] = (qc, plan)
+    plan = _PLAN_CACHE.get(qc)
+    if plan is None:
+        plan = _QCPlan(qc)
+        _PLAN_CACHE.put(qc, plan)
     return plan
 
 

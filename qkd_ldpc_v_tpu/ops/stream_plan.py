@@ -52,6 +52,7 @@ from qkd_ldpc_v_tpu.ops.permute_plan import (
     PermutePlan,
     build_permute_plan,
 )
+from qkd_ldpc_v_tpu.utils import PlanCache
 
 TILE = 128  # rows per permute tile (permute_plan spaces are [k*128, 128])
 
@@ -222,14 +223,12 @@ def build_stream_plan(matrix: HMatrix, cap_rows: int = 256) -> StreamPlan:
     )
 
 
-_PLAN_CACHE: dict = {}
+_PLAN_CACHE = PlanCache()
 
 
 def stream_plan_for(matrix: HMatrix, cap_rows: int = 256) -> StreamPlan:
-    key = (id(matrix), cap_rows)
-    entry = _PLAN_CACHE.get(key)
-    if entry is not None and entry[0] is matrix:
-        return entry[1]
-    plan = build_stream_plan(matrix, cap_rows)
-    _PLAN_CACHE[key] = (matrix, plan)
+    plan = _PLAN_CACHE.get(matrix, extra=(cap_rows,))
+    if plan is None:
+        plan = build_stream_plan(matrix, cap_rows)
+        _PLAN_CACHE.put(matrix, plan, extra=(cap_rows,))
     return plan

@@ -29,6 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from qkd_ldpc_v_tpu.config import Config
 from qkd_ldpc_v_tpu.models.hmatrix import HMatrix
 from qkd_ldpc_v_tpu.simulation import _build_step
+from qkd_ldpc_v_tpu.utils import PlanCache
 
 
 def initialize_distributed(
@@ -106,6 +107,7 @@ def sharded_step(
         local_batch,
         cfg.dtype,
         use_pallas=cfg.use_pallas,
+        schedule=cfg.schedule,
     )
 
     def run_local(ka, ke, kp, qber, num_errors, primary, secondary,
@@ -170,13 +172,12 @@ def mesh_step_factory(mesh: Mesh, reduce_stats: bool = False) -> Callable:
     to a multiple of the mesh size (the driver slices surplus frames off;
     with ``reduce_stats`` the surplus is masked on device instead and only
     scalar statistics ever reach the host — see sharded_step)."""
-    cache: dict = {}
+    cache = PlanCache()
 
     def factory(matrix: HMatrix, cfg: Config, batch: int) -> Callable:
         n_dev = mesh.devices.size
         global_batch = ((batch + n_dev - 1) // n_dev) * n_dev
         key = (
-            id(matrix),
             cfg.decoding_algorithm,
             cfg.decoding_alg_max_iterations,
             cfg.enable_msg_llr_threshold,
@@ -184,14 +185,15 @@ def mesh_step_factory(mesh: Mesh, reduce_stats: bool = False) -> Callable:
             global_batch,
             cfg.dtype,
             cfg.use_pallas,
+            cfg.schedule,
             reduce_stats,
         )
-        fn = cache.get(key)
+        fn = cache.get(matrix, extra=key)
         if fn is None:
             fn = sharded_step(
                 matrix, cfg, global_batch, mesh, reduce_stats=reduce_stats
             )
-            cache[key] = fn
+            cache.put(matrix, fn, extra=key)
         return fn
 
     return factory
@@ -199,11 +201,18 @@ def mesh_step_factory(mesh: Mesh, reduce_stats: bool = False) -> Callable:
 
 def psum_stats(syndromes_match, keys_match, iterations, axis_name: str = "data"):
     """On-device statistic reduction for fully-distributed aggregation:
-    returns (n_success_dec, n_success_ldpc, iter_sum, iter_sumsq, iter_min,
+    returns (n_success_dec, n_success_ldpc, iter_sum, iter_m2, iter_min,
     iter_max) reduced over the mesh axis — the psum/pmin/pmax analogue of the
     reference's host-side aggregation loop (src/simulation.cpp:587-624).
     Call from inside a shard_map worker when per-frame arrays are too large
-    to gather (multi-host campaigns)."""
+    to gather (multi-host campaigns).
+
+    ``iter_m2`` is the sum of squared deviations from the *global* mesh mean
+    (Chan's parallel-variance formulation), not the raw sum of squares: the
+    E[x^2]-E[x]^2 form loses its low bits to cancellation in float32 (the
+    real-TPU accumulation dtype) once chunks grow large, skewing
+    ITERATIONS_STD; deviations from the mean stay small and cancel nothing.
+    The extra psum is three scalar adds on the ICI per chunk."""
     ok = syndromes_match
     okf = ok.astype(jnp.float64) if jax.config.jax_enable_x64 else ok.astype(jnp.float32)
     it = iterations.astype(okf.dtype)
@@ -213,10 +222,12 @@ def psum_stats(syndromes_match, keys_match, iterations, axis_name: str = "data")
         jnp.sum(okf * keys_match.astype(okf.dtype)), axis_name
     )
     it_sum = jax.lax.psum(jnp.sum(jnp.where(ok, it, 0.0)), axis_name)
-    it_sumsq = jax.lax.psum(jnp.sum(jnp.where(ok, it * it, 0.0)), axis_name)
+    mean = it_sum / jnp.maximum(n_dec, 1.0)
+    dev = it - mean
+    it_m2 = jax.lax.psum(jnp.sum(jnp.where(ok, dev * dev, 0.0)), axis_name)
     it_min = jax.lax.pmin(jnp.min(jnp.where(ok, it, big)), axis_name)
     it_max = jax.lax.pmax(jnp.max(jnp.where(ok, it, -1.0)), axis_name)
-    return n_dec, n_ldpc, it_sum, it_sumsq, it_min, it_max
+    return n_dec, n_ldpc, it_sum, it_m2, it_min, it_max
 
 
 def edge_sharded_decoder(

@@ -52,6 +52,7 @@ from qkd_ldpc_v_tpu.ops.channel import (
 )
 from qkd_ldpc_v_tpu.ops.decoders import get_decoder
 from qkd_ldpc_v_tpu.privacy import bits_positions_to_remove
+from qkd_ldpc_v_tpu.utils import PlanCache
 from qkd_ldpc_v_tpu.rate_adapt import (
     ALMOST_ZERO,
     HMatrixParams,
@@ -555,7 +556,7 @@ def _build_step(
     return step
 
 
-_STEP_CACHE: dict = {}
+_STEP_CACHE = PlanCache()
 _WARMED_STEPS: set = set()
 
 
@@ -576,7 +577,6 @@ def get_step(
         else max_iterations
     )
     key = (
-        id(matrix),
         cfg.decoding_algorithm,
         cap,
         cfg.enable_msg_llr_threshold,
@@ -587,11 +587,9 @@ def get_step(
         cfg.use_pallas,
         cfg.schedule,
     )
-    entry = _STEP_CACHE.get(key)
-    if entry is not None and entry[0] is matrix:
-        # The cached matrix is held strongly, so its id() cannot be recycled
-        # by a different HMatrix while the entry lives.
-        return entry[1]
+    fn = _STEP_CACHE.get(matrix, extra=key)
+    if fn is not None:
+        return fn
     fn = jax.jit(
         _build_step(
             matrix,
@@ -606,7 +604,7 @@ def get_step(
             schedule=cfg.schedule,
         )
     )
-    _STEP_CACHE[key] = (matrix, fn)
+    _STEP_CACHE.put(matrix, fn, extra=key)
     return fn
 
 
@@ -1071,11 +1069,14 @@ def _run_chunks_reduced(
     psum_stats scalars reach the host, and the reference's statistics
     (iteration stats over syndrome-successful trials, population std-dev —
     src/simulation.cpp:580-690) are reconstructed from the on-device sums.
-    Per-frame arrays never leave the devices."""
+    Per-frame arrays never leave the devices. Variance combines per-chunk
+    M2 sums (deviations about each chunk's mean) with Chan's pairwise
+    update in float64 on the host — cancellation-free even though the
+    on-device accumulation is float32."""
     n_dec = 0.0
     n_ldpc = 0.0
     it_sum = 0.0
-    it_sumsq = 0.0
+    it_m2 = 0.0
     it_min: Optional[float] = None
     it_max: Optional[float] = None
     tp_chunks: List[Tuple[int, float]] = []  # (trials in chunk, us/trial)
@@ -1085,15 +1086,20 @@ def _run_chunks_reduced(
         take = min(batch, trials - done)
         ka, ke, kp = trial_keys(cfg.simulation_seed, sim_number, chunk_index)
         t0 = time.perf_counter()
-        d, l, s, ss, mn, mx = jax.device_get(
+        d, l, s, m2, mn, mx = jax.device_get(
             step(*step_args(ka, ke, kp, take))
         )
         elapsed_us = (time.perf_counter() - t0) * 1e6
         d = float(d)
+        if d > 0:
+            # Chan's parallel-variance combination of (n, sum, M2) pairs.
+            delta = float(s) / d - (it_sum / n_dec if n_dec > 0 else 0.0)
+            it_m2 += float(m2) + (
+                delta * delta * n_dec * d / (n_dec + d) if n_dec > 0 else 0.0
+            )
         n_dec += d
         n_ldpc += float(l)
         it_sum += float(s)
-        it_sumsq += float(ss)
         if d > 0:
             it_min = float(mn) if it_min is None else min(it_min, float(mn))
             it_max = float(mx) if it_max is None else max(it_max, float(mx))
@@ -1121,7 +1127,7 @@ def _run_chunks_reduced(
     )
     if n_dec > 0:
         mean = it_sum / n_dec
-        var = max(it_sumsq / n_dec - mean * mean, 0.0)
+        var = max(it_m2 / n_dec, 0.0)
         result.iter_success_mean = mean
         result.iter_success_std = var**0.5
         result.iter_success_min = int(it_min)

@@ -3,8 +3,40 @@
 from __future__ import annotations
 
 import os
+import weakref
 from pathlib import Path
-from typing import List, Optional
+from typing import Any, List, Optional
+
+
+class PlanCache:
+    """Identity-keyed cache that does not pin its key objects.
+
+    Decode plans / compiled steps are cached per matrix object. Keying by
+    ``id()`` alone risks stale hits after id reuse, and storing the matrix
+    strongly (the round-2 pattern) keeps every matrix of a long multi-matrix
+    campaign alive forever. This cache stores a ``weakref`` to the key
+    object: entries self-evict when the matrix is garbage collected, and a
+    hit is only returned when the weakref still points at the *same* object
+    (id-reuse safe)."""
+
+    def __init__(self) -> None:
+        self._data: dict = {}
+
+    def __len__(self) -> int:
+        return len(self._data)
+
+    def get(self, obj: Any, extra: tuple = ()) -> Optional[Any]:
+        key = (id(obj),) + extra
+        entry = self._data.get(key)
+        if entry is not None and entry[0]() is obj:
+            return entry[1]
+        return None
+
+    def put(self, obj: Any, value: Any, extra: tuple = ()) -> None:
+        key = (id(obj),) + extra
+        data = self._data
+        ref = weakref.ref(obj, lambda _r, _k=key: data.pop(_k, None))
+        data[key] = (ref, value)
 
 
 def get_file_paths_in_directory(directory, extension: str) -> List[Path]:

@@ -97,13 +97,15 @@ def test_psum_stats_matches_host_aggregation():
         out_specs=(P(),) * 6,
         check_vma=False,
     )
-    n_dec, n_ldpc, it_sum, it_sumsq, it_min, it_max = jax.device_get(
+    n_dec, n_ldpc, it_sum, it_m2, it_min, it_max = jax.device_get(
         fn(jnp.asarray(syn), jnp.asarray(keys), jnp.asarray(iters))
     )
     assert n_dec == syn.sum()
     assert n_ldpc == (syn & keys).sum()
     assert it_sum == pytest.approx(iters[syn].sum())
-    assert it_sumsq == pytest.approx((iters[syn] ** 2).sum())
+    # M2 = sum of squared deviations about the global mean (Chan form)
+    sel = iters[syn].astype(float)
+    assert it_m2 == pytest.approx(((sel - sel.mean()) ** 2).sum())
     assert it_min == iters[syn].min()
     assert it_max == iters[syn].max()
 
