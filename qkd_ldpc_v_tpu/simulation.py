@@ -341,8 +341,18 @@ def _build_step(
 
         qc_tile = feasible_batch_tile(matrix.qc)
     qc_active = qc_tile > 0
+    qc_stream_active = False
+    if use_pallas and not qc_active and matrix.qc is not None \
+            and dtype == jnp.float32:
+        # QC codes too large for the fused kernel's VMEM (the 100k QC
+        # suite) keep their circulant structure through the streamed QC
+        # engine: totals resident in VMEM, extrinsics in HBM.
+        from qkd_ldpc_v_tpu.ops.pallas_qc_stream import qc_stream_feasible
+
+        qc_stream_active = qc_stream_feasible(matrix.qc)
     generic_active = False
-    if use_pallas and not qc_active and dtype == jnp.float32:
+    if use_pallas and not qc_active and not qc_stream_active \
+            and dtype == jnp.float32:
         # Arbitrary (alist/PEG/dense) codes — and QC codes too large for the
         # QC kernel's VMEM budget — go through the fused generic kernel when
         # their edge space fits.
@@ -350,25 +360,26 @@ def _build_step(
 
         generic_active = generic_plan_feasible(matrix)
     stream_active = False
-    if use_pallas and not qc_active and not generic_active \
-            and dtype == jnp.float32:
+    if use_pallas and not qc_active and not qc_stream_active \
+            and not generic_active and dtype == jnp.float32:
         # Giant frames (e.g. the reference's N=102400 suite) whose edge
         # state exceeds VMEM stream HBM-resident blocks instead.
         from qkd_ldpc_v_tpu.ops.pallas_stream import stream_feasible
 
         stream_active = stream_feasible(matrix)
-    pallas_active = qc_active or generic_active or stream_active
+    pallas_active = (qc_active or qc_stream_active or generic_active
+                     or stream_active)
     if schedule == "layered" and not (
-        qc_active
+        (qc_active or qc_stream_active)
         and algorithm
         not in (DecodingAlgorithm.SPA, DecodingAlgorithm.SPA_APPROX)
     ):
-        # Layered is the fused QC kernel's performance mode (min-sum
-        # family); everything else keeps the reference's flooding schedule.
+        # Layered is the QC engines' performance mode (min-sum family);
+        # everything else keeps the reference's flooding schedule.
         logger.warning(
-            "tpu.schedule = layered needs the fused QC kernel and a "
-            "min-sum algorithm; using the flooding schedule for this "
-            "combination."
+            "tpu.schedule = layered needs a QC engine (fused or streamed) "
+            "and a min-sum algorithm; using the flooding schedule for "
+            "this combination."
         )
         schedule = "flooding"
     if qc_active:
@@ -385,6 +396,20 @@ def _build_step(
             matrix.qc, *a, batch_tile=min(qc_tile, 16), schedule=schedule,
             **k
         )
+    elif qc_stream_active:
+        from qkd_ldpc_v_tpu.ops import pallas_qc_stream as _pqs
+
+        # Streamed QC engine: in-kernel Monte-Carlo like the fused kernel
+        # (Alice's keys spill to HBM); no fused frame kernel — rate
+        # adaptation builds frames in XLA and decodes through the streamed
+        # QC library decoder (decode_tail below).
+        mk_mc = lambda *a, **k: _pqs.make_pallas_qc_stream_montecarlo(  # noqa: E731
+            matrix.qc, *a, schedule=schedule, **k
+        )
+        mk_trial = lambda *a, **k: _pqs.make_pallas_qc_stream_trial(  # noqa: E731
+            matrix.qc, *a, schedule=schedule, **k
+        )
+        mk_frame = None
     elif generic_active:
         from qkd_ldpc_v_tpu.ops import pallas_generic as _pg
 
@@ -425,13 +450,23 @@ def _build_step(
             )
         decode = None
     elif pallas_active:
-        if mk_frame is None:  # streaming: XLA frames + streaming decode
-            from qkd_ldpc_v_tpu.ops import pallas_stream as _ps
+        if mk_frame is None:
+            # No fused frame kernel: XLA builds the rate-adapted frames and
+            # the engine's library decoder handles the decode tail.
+            if qc_stream_active:
+                from qkd_ldpc_v_tpu.ops import pallas_qc_stream as _pqs
 
-            decode = _ps.make_pallas_stream_decoder(
-                matrix, algorithm, max_iterations, use_threshold,
-                interpret=interpret,
-            )
+                decode = _pqs.make_pallas_qc_stream_decoder(
+                    matrix.qc, algorithm, max_iterations, use_threshold,
+                    interpret=interpret, schedule=schedule,
+                )
+            else:
+                from qkd_ldpc_v_tpu.ops import pallas_stream as _ps
+
+                decode = _ps.make_pallas_stream_decoder(
+                    matrix, algorithm, max_iterations, use_threshold,
+                    interpret=interpret,
+                )
         else:
             # Rate-adaptive: frames/LLRs are built in XLA (host-chosen
             # puncture and shorten positions), but syndrome, decode, and key
@@ -609,9 +644,10 @@ def get_step(
 
 
 def pallas_engine(matrix: HMatrix, cfg: Config) -> str:
-    """Which engine ``_build_step`` will pick: "qc" | "generic" | "stream"
-    | "xla". Mirrors the gates at the top of ``_build_step`` (kept in sync —
-    both consult the same feasibility predicates)."""
+    """Which engine ``_build_step`` will pick: "qc" | "qc_stream" |
+    "generic" | "stream" | "xla". Mirrors the gates at the top of
+    ``_build_step`` (kept in sync — both consult the same feasibility
+    predicates)."""
     if not cfg.use_pallas or jnp.dtype(cfg.dtype) != jnp.float32:
         return "xla"
     if matrix.qc is not None:
@@ -619,6 +655,10 @@ def pallas_engine(matrix: HMatrix, cfg: Config) -> str:
 
         if feasible_batch_tile(matrix.qc) > 0:
             return "qc"
+        from qkd_ldpc_v_tpu.ops.pallas_qc_stream import qc_stream_feasible
+
+        if qc_stream_feasible(matrix.qc):
+            return "qc_stream"
     from qkd_ldpc_v_tpu.ops.pallas_generic import generic_plan_feasible
 
     if generic_plan_feasible(matrix):

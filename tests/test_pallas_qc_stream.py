@@ -1,0 +1,319 @@
+"""Streamed QC engine (ops/pallas_qc_stream.py) correctness.
+
+Parity bar mirrors the fused QC kernel's (tests/test_pallas_qc.py): exact
+equality with the XLA float32 decoder for the non-adaptive algorithms and
+SPA pair; converged-behavior equality for the adaptive pair (whose
+per-check factor amplifies f32 accumulation-order ulps mid-decode — the
+same documented property the fused kernel has). The layered schedule must
+be bit-identical to the fused layered kernel (same arithmetic, same NumPy
+oracle)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qkd_ldpc_v_tpu.config import DecodingAlgorithm
+from qkd_ldpc_v_tpu.models.layout import layout_for
+from qkd_ldpc_v_tpu.models.qc import QCMatrix, generate_qc_peg
+from qkd_ldpc_v_tpu.ops import pallas_qc as pk
+from qkd_ldpc_v_tpu.ops import pallas_qc_stream as qs
+from qkd_ldpc_v_tpu.ops.channel import syndrome_internal
+from qkd_ldpc_v_tpu.ops.decoders import get_decoder
+
+
+@pytest.fixture(scope="module")
+def qc():
+    return generate_qc_peg(8, 4, 128, column_weight=3, seed=7)
+
+
+@pytest.fixture(scope="module")
+def channel(qc):
+    matrix = qc.to_hmatrix()
+    layout = layout_for(matrix)
+    n = matrix.num_bit_nodes
+    rng = np.random.default_rng(3)
+    b = 11
+    alice = rng.integers(0, 2, (b, n)).astype(np.int8)
+    bob = alice.copy()
+    for i in range(b):
+        errs = rng.choice(n, size=30, replace=False)
+        bob[i, errs] ^= 1
+    qber = 30 / n
+    log_p = np.log((1 - qber) / qber)
+    llr = np.where(bob == 1, -log_p, log_p).astype(np.float32)
+    bit_order = np.asarray(layout.bit_order)
+    syn_int = np.asarray(
+        syndrome_internal(layout, jnp.asarray(alice[:, bit_order]))
+    )
+    syn_ext = syn_int[:, np.asarray(layout.check_inv)]
+    return dict(
+        matrix=matrix, layout=layout, alice=alice, bob=bob, qber=qber,
+        llr=llr, syn=syn_ext,
+    )
+
+
+@pytest.mark.parametrize("algorithm,primary,secondary", [
+    (DecodingAlgorithm.SPA, 1.0, 1.0),
+    (DecodingAlgorithm.SPA_APPROX, 1.0, 1.0),
+    (DecodingAlgorithm.NMSA, 0.8, 0.0),
+    (DecodingAlgorithm.OMSA, 0.3, 0.0),
+])
+def test_decode_exact_vs_xla(qc, channel, algorithm, primary, secondary):
+    """Flooding decode is bit-exact vs the XLA f32 decoder: decisions
+    (converged and unconverged), convergence flags, iteration counts."""
+    ref = get_decoder(
+        channel["layout"], algorithm, 30, False, dtype=jnp.float32,
+        jit=False,
+    )
+    rres = ref(
+        jnp.asarray(channel["llr"]), jnp.asarray(channel["syn"]),
+        primary, secondary, 0.0,
+    )
+    dec = qs.make_pallas_qc_stream_decoder(
+        qc, algorithm, 30, False, interpret=True
+    )
+    sres = dec(
+        jnp.asarray(channel["llr"]), jnp.asarray(channel["syn"]),
+        primary, secondary, 0.0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rres.syndromes_match), np.asarray(sres.syndromes_match)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rres.iterations), np.asarray(sres.iterations)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rres.decision), np.asarray(sres.decision)
+    )
+
+
+def test_decode_exact_with_threshold(qc, channel):
+    """The message clamp stays at the reference program points (the clamp
+    commutes with the roll — see the module doc)."""
+    ref = get_decoder(
+        channel["layout"], DecodingAlgorithm.NMSA, 30, True,
+        dtype=jnp.float32, jit=False,
+    )
+    rres = ref(
+        jnp.asarray(channel["llr"]), jnp.asarray(channel["syn"]),
+        0.8, 0.0, 15.0,
+    )
+    dec = qs.make_pallas_qc_stream_decoder(
+        qc, DecodingAlgorithm.NMSA, 30, True, interpret=True
+    )
+    sres = dec(
+        jnp.asarray(channel["llr"]), jnp.asarray(channel["syn"]),
+        0.8, 0.0, 15.0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rres.iterations), np.asarray(sres.iterations)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rres.decision), np.asarray(sres.decision)
+    )
+
+
+@pytest.mark.parametrize("algorithm,primary,secondary", [
+    (DecodingAlgorithm.ANMSA, 0.8, 0.5),
+    (DecodingAlgorithm.AOMSA, 0.3, 0.6),
+])
+def test_decode_adaptive_converged_equal(qc, channel, algorithm, primary,
+                                         secondary):
+    """Adaptive pair: converged frames must agree with the XLA decoder on
+    convergence and decisions (iteration counts may differ by f32
+    accumulation-order feedback through the factor — same tolerance class
+    as the fused kernel's)."""
+    ref = get_decoder(
+        channel["layout"], algorithm, 30, False, dtype=jnp.float32,
+        jit=False,
+    )
+    rres = ref(
+        jnp.asarray(channel["llr"]), jnp.asarray(channel["syn"]),
+        primary, secondary, 0.0,
+    )
+    dec = qs.make_pallas_qc_stream_decoder(
+        qc, algorithm, 30, False, interpret=True
+    )
+    sres = dec(
+        jnp.asarray(channel["llr"]), jnp.asarray(channel["syn"]),
+        primary, secondary, 0.0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rres.syndromes_match), np.asarray(sres.syndromes_match)
+    )
+    conv = np.asarray(rres.syndromes_match)
+    np.testing.assert_array_equal(
+        np.asarray(rres.decision)[conv], np.asarray(sres.decision)[conv]
+    )
+    assert np.abs(
+        np.asarray(rres.iterations) - np.asarray(sres.iterations)
+    ).max() <= 3
+
+
+@pytest.mark.parametrize("algorithm,primary,secondary", [
+    (DecodingAlgorithm.NMSA, 0.8, 0.0),
+    (DecodingAlgorithm.OMSA, 0.3, 0.0),
+    (DecodingAlgorithm.ANMSA, 0.88, 0.5),
+    (DecodingAlgorithm.AOMSA, 0.3, 0.6),
+])
+def test_layered_matches_fused(qc, channel, algorithm, primary, secondary):
+    """The layered schedule is the fused layered kernel's arithmetic row
+    for row — bit-identical results, adaptive pair included (both engines
+    implement the same NumPy oracle,
+    tests/test_pallas_qc.py::_layered_oracle)."""
+    fd = pk.make_pallas_qc_decoder(
+        qc, algorithm, 30, False, interpret=True, schedule="layered"
+    )
+    fres = fd(
+        jnp.asarray(channel["llr"]), jnp.asarray(channel["syn"]),
+        primary, secondary, 0.0,
+    )
+    sd = qs.make_pallas_qc_stream_decoder(
+        qc, algorithm, 30, False, interpret=True, schedule="layered"
+    )
+    sres = sd(
+        jnp.asarray(channel["llr"]), jnp.asarray(channel["syn"]),
+        primary, secondary, 0.0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fres.syndromes_match), np.asarray(sres.syndromes_match)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fres.iterations), np.asarray(sres.iterations)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fres.decision), np.asarray(sres.decision)
+    )
+
+
+@pytest.mark.parametrize("schedule", ["flooding", "layered"])
+def test_trial_matches_fused(qc, channel, schedule):
+    """Trial mode (raw keys in, statistics out) agrees with the fused
+    trial kernel."""
+    alg = DecodingAlgorithm.NMSA
+    ft = pk.make_pallas_qc_trial(
+        qc, alg, 30, False, interpret=True, schedule=schedule
+    )
+    st = qs.make_pallas_qc_stream_trial(
+        qc, alg, 30, False, interpret=True, schedule=schedule
+    )
+    args = (
+        jnp.asarray(channel["alice"]), jnp.asarray(channel["bob"]),
+        channel["qber"], 0.8, 0.0, 0.0,
+    )
+    for f, s in zip(ft(*args), st(*args)):
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(s))
+
+
+def test_batch_padding(qc, channel):
+    """Batches that don't divide the tile pad internally; padding frames
+    never leak into results."""
+    alg = DecodingAlgorithm.NMSA
+    dec = qs.make_pallas_qc_stream_decoder(qc, alg, 30, False,
+                                           interpret=True)
+    full = dec(
+        jnp.asarray(channel["llr"]), jnp.asarray(channel["syn"]),
+        0.8, 0.0, 0.0,
+    )
+    part = dec(
+        jnp.asarray(channel["llr"][:5]), jnp.asarray(channel["syn"][:5]),
+        0.8, 0.0, 0.0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full.decision)[:5], np.asarray(part.decision)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full.iterations)[:5], np.asarray(part.iterations)
+    )
+
+
+def test_layered_rejects_spa(qc):
+    with pytest.raises(ValueError, match="min-sum"):
+        qs.make_pallas_qc_stream_decoder(
+            qc, DecodingAlgorithm.SPA, 10, False, interpret=True,
+            schedule="layered",
+        )
+
+
+def test_feasibility_gate():
+    """The streamed engine takes over exactly where the fused kernel's
+    VMEM gate gives up, and itself refuses codes beyond its compile-size
+    or VMEM budgets."""
+    rng = np.random.default_rng(0)
+
+    def fake_qc(nb, mb, z, cw):
+        shifts = np.full((mb, nb), -1, np.int64)
+        for c in range(nb):
+            rows = rng.choice(mb, size=cw, replace=False)
+            shifts[rows, c] = rng.integers(0, z, cw)
+        return QCMatrix(shifts=shifts, lifting=z)
+
+    # The committed 100k shape: fused kernel infeasible, streamed feasible.
+    big = fake_qc(100, 30, 1024, 4)
+    assert pk.feasible_batch_tile(big) == 0
+    assert qs.qc_stream_feasible(big)
+    # Wider-Z variant of the 100k ladder (fewer, larger planes).
+    assert qs.qc_stream_feasible(fake_qc(50, 15, 2048, 3))
+    # Non-lane-multiple lifting: no Pallas QC engine at all.
+    assert not qs.qc_stream_feasible(fake_qc(8, 4, 100, 3))
+    # Beyond the compile-size guard (block-edge unroll).
+    assert not qs.qc_stream_feasible(fake_qc(200, 60, 512, 4))
+
+
+def test_engine_selection_prefers_qc_stream():
+    """pallas_engine routes VMEM-infeasible QC codes to the streamed QC
+    engine (not the structure-blind generic/stream paths)."""
+    from qkd_ldpc_v_tpu.config import Config
+    from qkd_ldpc_v_tpu.models.hmatrix import HMatrix
+    from qkd_ldpc_v_tpu.simulation import pallas_engine
+
+    rng = np.random.default_rng(1)
+    nb, mb, z, cw = 100, 30, 1024, 4
+    shifts = np.full((mb, nb), -1, np.int64)
+    for c in range(nb):
+        rows = rng.choice(mb, size=cw, replace=False)
+        shifts[rows, c] = rng.integers(0, z, cw)
+    qcm = QCMatrix(shifts=shifts, lifting=z)
+    # A skeleton HMatrix is enough for the gate (the gates consult only
+    # matrix.qc for QC codes).
+    matrix = HMatrix.__new__(HMatrix)
+    matrix.qc = qcm
+    cfg = Config(use_pallas=True)
+    assert pallas_engine(matrix, cfg) == "qc_stream"
+
+
+def test_driver_end_to_end_matches_fused(qc, monkeypatch):
+    """Force the fused kernel's gate shut: the driver must route through
+    the streamed QC engine and produce identical sweep statistics."""
+    from qkd_ldpc_v_tpu import simulation as sim
+    from qkd_ldpc_v_tpu.config import Config
+    from qkd_ldpc_v_tpu.rate_adapt import HMatrixParams
+
+    matrix = qc.to_hmatrix()
+    cfg = Config(
+        trials_number=16,
+        simulation_seed=5,
+        decoding_algorithm=DecodingAlgorithm.NMSA,
+        decoding_alg_max_iterations=50,
+        batch_size=16,
+        use_pallas=True,
+    )
+    comb = sim.SimCombination(
+        0.02, HMatrixParams(), sim.ScalingFactors(primary=0.8)
+    )
+
+    assert sim.pallas_engine(matrix, cfg) == "qc"
+    ref = sim.run_combination(matrix, comb, cfg, sim_number=0)
+
+    import qkd_ldpc_v_tpu.ops.pallas_qc as _pk
+    monkeypatch.setattr(sim, "_STEP_CACHE", type(sim._STEP_CACHE)())
+    monkeypatch.setattr(_pk, "feasible_batch_tile", lambda *_a, **_k: 0)
+    assert sim.pallas_engine(matrix, cfg) == "qc_stream"
+    got = sim.run_combination(matrix, comb, cfg, sim_number=0)
+
+    assert got.ratio_trials_success_decoding == ref.ratio_trials_success_decoding
+    assert got.ratio_trials_success_ldpc == ref.ratio_trials_success_ldpc
+    assert got.iter_success_mean == ref.iter_success_mean
+    assert got.iter_success_max == ref.iter_success_max
+    assert got.iter_success_min == ref.iter_success_min
