@@ -31,7 +31,9 @@ BENCH_ALIST=0 to skip the alist measurement (slow first compile),
 BENCH_ALIST_BATCH (default 8192), BENCH_100K=0 to skip the 100k
 measurement, BENCH_100K_TRIALS (default 1024 — enough 64-frame steps that
 per-step dispatch overhead stops masking the steady-state operating point;
-256 under-reported it by ~19% in round 2).
+256 under-reported it by ~19% in round 2), BENCH_QC100K=0 to skip the
+streamed-QC 100k measurement, BENCH_QC100K_TRIALS / BENCH_QC100K_BATCH /
+BENCH_QC100K_SCHEDULE to reshape it.
 """
 
 from __future__ import annotations
@@ -49,6 +51,17 @@ REFERENCE_MATRIX = Path(
 REFERENCE_MATRIX_100K = Path(
     "/root/reference/sparse_matrices/matrices_alist_100k_all/"
     "(N=102400,M=32001,R=0.69,CW=3,SEED=777).mtrx"
+)
+# Committed fallbacks (scripts/make_assets.py) so the 100k legs run from
+# this repo alone when the reference mount is absent.
+_REPO = Path(__file__).resolve().parent
+LOCAL_MATRIX_100K = (
+    _REPO / "sparse_matrices/matrices_alist"
+    / "(N=102400,M=31744,R=0.69,CW=3,SEED=67).mtrx"
+)
+QC_MATRIX_100K = (
+    _REPO / "sparse_matrices/matrices_qc"
+    / "(N=102400,M=30720,R=0.70,CW=3,Z=2048,SEED=56).mtrx"
 )
 TARGET_FRAMES_PER_S = 1e5  # BASELINE.md north star, v5e chip
 QBER = 0.03
@@ -153,14 +166,16 @@ def main() -> int:
         }
 
     # The reference's largest production frames (N=102400) through the
-    # streaming HBM-resident kernel.
+    # streaming HBM-resident kernel (alist — the reference's own format;
+    # falls back to the committed 100k asset without the mount).
     stream_fields = {}
-    if (
-        os.environ.get("BENCH_100K", "1") != "0"
-        and REFERENCE_MATRIX_100K.exists()
-    ):
+    matrix_100k = (
+        REFERENCE_MATRIX_100K if REFERENCE_MATRIX_100K.exists()
+        else LOCAL_MATRIX_100K
+    )
+    if os.environ.get("BENCH_100K", "1") != "0" and matrix_100k.exists():
         trials_100k = int(os.environ.get("BENCH_100K_TRIALS", "1024"))
-        big = read_sparse_matrix_alist(REFERENCE_MATRIX_100K)
+        big = read_sparse_matrix_alist(matrix_100k)
         sfps, sfer = _measure(
             big, 0.8, {"use_pallas": True}, 64,
             max(1, trials_100k // 64), "stream-100k",
@@ -168,6 +183,28 @@ def main() -> int:
         stream_fields = {
             "stream100k_frames_per_s": round(sfps, 1),
             "stream100k_fer": round(sfer, 5),
+        }
+
+    # N=102400 through the streamed QC engine (ops/pallas_qc_stream.py):
+    # circulant rolls + HBM-resident extrinsics — the committed Z=2048
+    # CW=3 flagship code, layered schedule (BENCH_QC100K_SCHEDULE=flooding
+    # for the parity-semantics number).
+    qc100k_fields = {}
+    if os.environ.get("BENCH_QC100K", "1") != "0" and QC_MATRIX_100K.exists():
+        from qkd_ldpc_v_tpu.models.hmatrix import read_matrix
+        from qkd_ldpc_v_tpu.config import MatrixFormat
+
+        qc100k_trials = int(os.environ.get("BENCH_QC100K_TRIALS", "4096"))
+        qc100k_batch = int(os.environ.get("BENCH_QC100K_BATCH", "256"))
+        qc100k_sched = os.environ.get("BENCH_QC100K_SCHEDULE", "layered")
+        big_qc = read_matrix(QC_MATRIX_100K, MatrixFormat.QC)
+        qfps, qfer = _measure(
+            big_qc, 0.8, {"use_pallas": True, "schedule": qc100k_sched},
+            qc100k_batch, max(1, qc100k_trials // qc100k_batch), "qc-100k",
+        )
+        qc100k_fields = {
+            "qc100k_frames_per_s": round(qfps, 1),
+            "qc100k_fer": round(qfer, 5),
         }
 
     print(json.dumps({
@@ -178,6 +215,7 @@ def main() -> int:
         **flood_fields,
         **alist_fields,
         **stream_fields,
+        **qc100k_fields,
     }))
     return 0
 

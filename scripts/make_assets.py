@@ -75,6 +75,11 @@ def main() -> int:
     for mb, cw, seed in ((64, 4, 51), (50, 4, 52), (30, 4, 53), (15, 4, 54),
                          (8, 4, 55)):
         qc_suite.append((100, mb, 1024, cw, seed))
+    # N = 102400 wide-lift variant (Z = 2048, nb = 50, CW = 3 — the
+    # reference's own 100k column weight): half the block-edge count of the
+    # Z = 1024 ladder, sized for the streamed QC engine's unrolled sweep
+    # (ops/pallas_qc_stream.py) — the 100k flagship bench code.
+    qc_suite.append((50, 15, 2048, 3, 56))
 
     for nb, mb, z, cw, seed in qc_suite:
         qc = generate_qc_peg(nb, mb, z, cw, seed=seed)
@@ -83,8 +88,7 @@ def main() -> int:
             f"R={qc.code_rate:.2f},CW={cw},Z={z},SEED={seed}).mtrx"
         )
         write_qc_matrix(qc, qc_dir / name)
-        if qc.num_bit_nodes <= 10240:
-            _untp(qc_dir / name, qc.to_hmatrix(), seed=1000 + seed)
+        _untp(qc_dir / name, qc.to_hmatrix(), seed=1000 + seed)
         print("wrote", qc_dir / name)
 
     # alist codes for the generic decoder path: a 1k rate ladder covering
@@ -99,6 +103,10 @@ def main() -> int:
         (10240, 2841, 4, 66),                          # R = 0.72 (the
         # reference's headline 10k operating point, regenerated here so the
         # generic-kernel campaign runs without the reference mount)
+        (102400, 31744, 3, 67),                        # R = 0.69 — the
+        # reference's 100k shape (matrices_alist_100k_all: N=102400, CW=3),
+        # so the streaming engine's flagship workload and its tests run
+        # from this repo alone (round-2 review item)
     ]
     for n, m, cw, seed in alist_suite:
         mat = generate_regular_ldpc(n, m, cw, seed=seed)

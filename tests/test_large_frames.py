@@ -18,6 +18,14 @@ from qkd_ldpc_v_tpu.ops.channel import calculate_syndrome
 from qkd_ldpc_v_tpu.ops.decoders import make_decoder
 from tests.conftest import REFERENCE_DIR, reference_available
 
+# The committed 100k alist asset (scripts/make_assets.py) keeps this file
+# self-contained; the reference's own 100k matrix is preferred when its
+# mount is present (the parity campaigns in PARITY.md use it).
+MATRIX_100K_LOCAL = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "sparse_matrices/matrices_alist",
+    "(N=102400,M=31744,R=0.69,CW=3,SEED=67).mtrx",
+)
 MATRIX_100K = os.path.join(
     REFERENCE_DIR,
     "sparse_matrices/matrices_alist_100k_all",
@@ -27,11 +35,11 @@ MATRIX_100K = os.path.join(
 
 @pytest.fixture(scope="module")
 def matrix_100k():
-    if not reference_available() or not os.path.exists(MATRIX_100K):
-        pytest.skip("reference 100k assets absent")
     from qkd_ldpc_v_tpu.models.hmatrix import read_sparse_matrix_alist
 
-    return read_sparse_matrix_alist(MATRIX_100K)
+    if reference_available() and os.path.exists(MATRIX_100K):
+        return read_sparse_matrix_alist(MATRIX_100K)
+    return read_sparse_matrix_alist(MATRIX_100K_LOCAL)
 
 
 @pytest.fixture(scope="module")
