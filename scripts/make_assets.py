@@ -413,6 +413,20 @@ def main() -> int:
             },
             code_rate_QBER_ranges=fer_ranges,
         ),
+        # 7. FER sweep at the reference's largest production frame size
+        #    (its config 100k shapes, configs_all/config 100k*.json) on the
+        #    committed 100k QC ladder through the streamed QC engine.
+        #    trials/batch sized for the ~1k-frames/s-per-point regime.
+        "campaign_fer_sweep_100k.json": base_cfg(
+            trials_number=4096,
+            min_sum_normalized_parameters={
+                "use_alpha_range": False,
+                "alpha_range": {"begin": 0.7, "end": 0.9, "step": 0.05},
+                "code_rate_alpha_maps": alpha_maps,
+            },
+            code_rate_QBER_ranges=fer_ranges,
+            tpu={"batch_size": 256, "use_pallas": True},
+        ),
     }
     for name, cfg in campaigns.items():
         (cfg_dir / name).write_text(json.dumps(cfg, indent=2))
