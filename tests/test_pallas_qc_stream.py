@@ -283,6 +283,31 @@ def test_engine_selection_prefers_qc_stream():
     assert pallas_engine(matrix, cfg) == "qc_stream"
 
 
+def test_committed_100k_assets_route_to_qc_stream():
+    """The committed N=102400 QC assets (both the Z=2048 CW=3 flagship and
+    the Z=1024 CW=4 ladder) must gate out of the fused kernel and into the
+    streamed QC engine."""
+    from pathlib import Path
+
+    from qkd_ldpc_v_tpu.config import Config, MatrixFormat
+    from qkd_ldpc_v_tpu.models.hmatrix import read_matrix
+    from qkd_ldpc_v_tpu.simulation import pallas_engine
+
+    root = Path(__file__).resolve().parent.parent
+    cfg = Config(use_pallas=True)
+    for name, num_be in (
+        ("(N=102400,M=30720,R=0.70,CW=3,Z=2048,SEED=56).mtrx", 150),
+        ("(N=102400,M=30720,R=0.70,CW=4,Z=1024,SEED=53).mtrx", 400),
+    ):
+        matrix = read_matrix(
+            root / "sparse_matrices" / "matrices_qc" / name, MatrixFormat.QC
+        )
+        assert int((matrix.qc.shifts >= 0).sum()) == num_be
+        assert pk.feasible_batch_tile(matrix.qc) == 0
+        assert qs.qc_stream_feasible(matrix.qc)
+        assert pallas_engine(matrix, cfg) == "qc_stream"
+
+
 def test_driver_end_to_end_matches_fused(qc, monkeypatch):
     """Force the fused kernel's gate shut: the driver must route through
     the streamed QC engine and produce identical sweep statistics."""
