@@ -197,7 +197,12 @@ def main() -> int:
         qc100k_trials = int(os.environ.get("BENCH_QC100K_TRIALS", "4096"))
         qc100k_batch = int(os.environ.get("BENCH_QC100K_BATCH", "256"))
         qc100k_sched = os.environ.get("BENCH_QC100K_SCHEDULE", "layered")
+        from qkd_ldpc_v_tpu.simulation import pallas_engine
+        from qkd_ldpc_v_tpu.config import Config as _Cfg
+
         big_qc = read_matrix(QC_MATRIX_100K, MatrixFormat.QC)
+        engine = pallas_engine(big_qc, _Cfg(use_pallas=True))
+        assert engine == "qc_stream", engine  # the leg exists to measure it
         qfps, qfer = _measure(
             big_qc, 0.8, {"use_pallas": True, "schedule": qc100k_sched},
             qc100k_batch, max(1, qc100k_trials // qc100k_batch), "qc-100k",
