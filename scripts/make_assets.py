@@ -75,11 +75,13 @@ def main() -> int:
     for mb, cw, seed in ((64, 4, 51), (50, 4, 52), (30, 4, 53), (15, 4, 54),
                          (8, 4, 55)):
         qc_suite.append((100, mb, 1024, cw, seed))
-    # N = 102400 wide-lift variant (Z = 2048, nb = 50, CW = 3 — the
+    # N = 102400 wide-lift variants (Z = 2048, nb = 50, CW = 3 — the
     # reference's own 100k column weight): half the block-edge count of the
     # Z = 1024 ladder, sized for the streamed QC engine's unrolled sweep
-    # (ops/pallas_qc_stream.py) — the 100k flagship bench code.
-    qc_suite.append((50, 15, 2048, 3, 56))
+    # (ops/pallas_qc_stream.py). R=0.70 is the 100k flagship bench code;
+    # R=0.84 / R=0.50 extend the streamed-engine FER ladder.
+    for mb, seed in ((15, 56), (8, 57), (25, 58)):
+        qc_suite.append((50, mb, 2048, 3, seed))
 
     for nb, mb, z, cw, seed in qc_suite:
         qc = generate_qc_peg(nb, mb, z, cw, seed=seed)
