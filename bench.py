@@ -203,14 +203,26 @@ def main() -> int:
         big_qc = read_matrix(QC_MATRIX_100K, MatrixFormat.QC)
         engine = pallas_engine(big_qc, _Cfg(use_pallas=True))
         assert engine == "qc_stream", engine  # the leg exists to measure it
-        qfps, qfer = _measure(
-            big_qc, 0.8, {"use_pallas": True, "schedule": qc100k_sched},
-            qc100k_batch, max(1, qc100k_trials // qc100k_batch), "qc-100k",
-        )
-        qc100k_fields = {
-            "qc100k_frames_per_s": round(qfps, 1),
-            "qc100k_fer": round(qfer, 5),
-        }
+        # First hardware contact for a new kernel goes through the tunnel's
+        # remote compiler; a compile failure must not take down the whole
+        # bench record — fall back layered -> flooding -> omit.
+        for sched in dict.fromkeys((qc100k_sched, "flooding")):
+            try:
+                qfps, qfer = _measure(
+                    big_qc, 0.8, {"use_pallas": True, "schedule": sched},
+                    qc100k_batch, max(1, qc100k_trials // qc100k_batch),
+                    f"qc-100k-{sched}",
+                )
+            except Exception as e:  # noqa: BLE001
+                print(f"bench[qc-100k-{sched}] failed: {e!r}",
+                      file=sys.stderr)
+                continue
+            qc100k_fields = {
+                "qc100k_frames_per_s": round(qfps, 1),
+                "qc100k_fer": round(qfer, 5),
+                "qc100k_schedule": sched,
+            }
+            break
 
     print(json.dumps({
         "metric": "decoded_10k_frames_per_s_qber0.03",
