@@ -342,3 +342,51 @@ def test_driver_end_to_end_matches_fused(qc, monkeypatch):
     assert got.iter_success_mean == ref.iter_success_mean
     assert got.iter_success_max == ref.iter_success_max
     assert got.iter_success_min == ref.iter_success_min
+
+
+@pytest.mark.parametrize("nb,mb,z,cw,seed", [
+    (4, 2, 128, 2, 11),    # mb=2: exercises the two-slot DMA tail waits
+    (6, 1, 128, 1, 12),    # mb=1: single block-row, degenerate pipeline
+    (10, 5, 256, 3, 13),   # Z=256: multi-vreg rolls
+])
+def test_decode_exact_small_shapes(nb, mb, z, cw, seed):
+    """Streamed-engine DMA choreography at degenerate block-row counts and
+    wider liftings stays bit-exact vs the XLA decoder."""
+    from qkd_ldpc_v_tpu.models.qc import generate_qc_ldpc
+
+    qcm = generate_qc_ldpc(nb, mb, z, column_weight=cw, seed=seed)
+    matrix = qcm.to_hmatrix()
+    layout = layout_for(matrix)
+    n = matrix.num_bit_nodes
+    rng = np.random.default_rng(seed)
+    b = 9
+    alice = rng.integers(0, 2, (b, n)).astype(np.int8)
+    bob = alice.copy()
+    ne = max(4, n // 40)
+    for i in range(b):
+        bob[i, rng.choice(n, size=ne, replace=False)] ^= 1
+    qber = ne / n
+    log_p = np.log((1 - qber) / qber)
+    llr = np.where(bob == 1, -log_p, log_p).astype(np.float32)
+    bit_order = np.asarray(layout.bit_order)
+    syn_int = np.asarray(
+        syndrome_internal(layout, jnp.asarray(alice[:, bit_order]))
+    )
+    syn_ext = syn_int[:, np.asarray(layout.check_inv)]
+
+    ref = get_decoder(layout, DecodingAlgorithm.NMSA, 25, False,
+                      dtype=jnp.float32, jit=False)
+    rres = ref(jnp.asarray(llr), jnp.asarray(syn_ext), 0.8, 0.0, 0.0)
+    dec = qs.make_pallas_qc_stream_decoder(
+        qcm, DecodingAlgorithm.NMSA, 25, False, interpret=True
+    )
+    sres = dec(jnp.asarray(llr), jnp.asarray(syn_ext), 0.8, 0.0, 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(rres.syndromes_match), np.asarray(sres.syndromes_match)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rres.iterations), np.asarray(sres.iterations)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rres.decision), np.asarray(sres.decision)
+    )
