@@ -221,25 +221,34 @@ def _build(
             log_p = jnp.log((1.0 - qber) / qber)
             for r in range(mb):
                 syn_s[r] = jnp.zeros((tb, z), jnp.int32)
-            for c in range(nb):
-                slot = c % 2
-                da = pltpu.make_async_copy(
+
+            # Double-buffered staging: column c+1's Alice and Bob planes
+            # stream in while column c computes (stg slots 0/1 = Alice,
+            # 2/3 = Bob; sem_in is idle until the sweeps).
+            def a_dma(slot, c):
+                return pltpu.make_async_copy(
                     alice_hbm.at[row_slice, c * z:(c + 1) * z],
                     stg.at[slot], sem_stg.at[slot],
                 )
-                da.start()
-                da.wait()
-                alice_c = stg[slot]
-                accumulate_syndrome(c, alice_c)
-                db = pltpu.make_async_copy(
+
+            def b_dma(slot, c):
+                return pltpu.make_async_copy(
                     bob_hbm.at[row_slice, c * z:(c + 1) * z],
-                    stg.at[slot], sem_stg.at[slot],
+                    stg.at[2 + slot], sem_in.at[slot],
                 )
-                db.start()
-                db.wait()
-                bob_c = stg[slot]
+
+            a_dma(0, 0).start()
+            b_dma(0, 0).start()
+            for c in range(nb):
+                slot = c % 2
+                if c + 1 < nb:
+                    a_dma((c + 1) % 2, c + 1).start()
+                    b_dma((c + 1) % 2, c + 1).start()
+                a_dma(slot, c).wait()
+                accumulate_syndrome(c, stg[slot])
+                b_dma(slot, c).wait()
                 set_llr(c, jnp.where(
-                    bob_c == 1, -log_p, log_p
+                    stg[2 + slot] == 1, -log_p, log_p
                 ).astype(dtype))
         elif mode == "mc":
             # Whole Monte-Carlo trial in-kernel (reference channel
@@ -297,17 +306,21 @@ def _build(
                         axis=1, keepdims=True,
                     )
                 t = jnp.where(cnt < num_errors, cand, t)
+            def a_rd(slot, c):
+                return pltpu.make_async_copy(
+                    alice_hbm.at[i, c], stg.at[slot], sem_stg.at[slot],
+                )
+
+            a_rd(0, 0).start()
             for c in range(nb):
                 slot = c % 2
+                if c + 1 < nb:
+                    a_rd((c + 1) % 2, c + 1).start()
                 ekey = pltpu.bitcast(tot2[c], jnp.uint32)
                 flip = jnp.where(
                     num_errors > 0, (ekey <= t).astype(jnp.int32), 0
                 )
-                d = pltpu.make_async_copy(
-                    alice_hbm.at[i, c], stg.at[slot], sem_stg.at[slot],
-                )
-                d.start()
-                d.wait()
+                a_rd(slot, c).wait()
                 bob_c = stg[slot] ^ flip
                 set_llr(c, jnp.where(
                     bob_c == 1, -log_p, log_p
@@ -557,21 +570,25 @@ def _build(
         )
 
         if mode in ("trial", "mc"):
-            km = None
-            for c in range(nb):
-                slot = c % 2
+
+            def k_rd(slot, c):
                 if mode == "trial":
-                    d = pltpu.make_async_copy(
+                    return pltpu.make_async_copy(
                         alice_hbm.at[row_slice, c * z:(c + 1) * z],
                         stg.at[slot], sem_stg.at[slot],
                     )
-                else:
-                    d = pltpu.make_async_copy(
-                        alice_hbm.at[i, c], stg.at[slot], sem_stg.at[slot],
-                    )
-                d.start()
-                d.wait()
+                return pltpu.make_async_copy(
+                    alice_hbm.at[i, c], stg.at[slot], sem_stg.at[slot],
+                )
+
+            km = None
+            k_rd(0, 0).start()
+            for c in range(nb):
+                slot = c % 2
+                if c + 1 < nb:
+                    k_rd((c + 1) % 2, c + 1).start()
                 dec_c = (tot[c] <= 0).astype(jnp.int32)
+                k_rd(slot, c).wait()
                 col_ok = jnp.all(dec_c == stg[slot], axis=1, keepdims=True)
                 km = col_ok if km is None else km & col_ok
             conv_out[:, :] = conv.astype(jnp.int8)
@@ -609,7 +626,7 @@ def _build(
     scratch_shapes += [
         pltpu.VMEM((mb, tb, z), jnp.int32),        # syndrome planes
         pltpu.VMEM((2, max_deg, tb, z), dtype),    # streaming slabs
-        pltpu.VMEM((2, tb, z), jnp.int32),         # staging planes
+        pltpu.VMEM((4, tb, z), jnp.int32),         # staging planes
         pltpu.SemaphoreType.DMA((2,)),             # slab in
         pltpu.SemaphoreType.DMA((2,)),             # slab out
         pltpu.SemaphoreType.DMA((2,)),             # staging
