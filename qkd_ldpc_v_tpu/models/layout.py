@@ -235,15 +235,18 @@ def compile_layout(matrix: HMatrix) -> EdgeLayout:
     )
 
 
-_LAYOUT_CACHE: dict = {}
+from qkd_ldpc_v_tpu.utils import PlanCache
+
+_LAYOUT_CACHE = PlanCache()
 
 
 def layout_for(matrix: HMatrix) -> EdgeLayout:
-    """Memoized compile_layout keyed by matrix object identity (the matrix
-    is held strongly so its id() cannot be recycled while cached)."""
-    entry = _LAYOUT_CACHE.get(id(matrix))
-    if entry is not None and entry[0] is matrix:
-        return entry[1]
-    layout = compile_layout(matrix)
-    _LAYOUT_CACHE[id(matrix)] = (matrix, layout)
+    """Memoized compile_layout keyed by matrix object identity. The cache
+    holds the matrix by weakref (id-reuse safe, self-evicting) — a strong
+    reference here would pin every matrix of a multi-matrix campaign and
+    keep the weakref-based plan/step caches from ever evicting."""
+    layout = _LAYOUT_CACHE.get(matrix)
+    if layout is None:
+        layout = compile_layout(matrix)
+        _LAYOUT_CACHE.put(matrix, layout)
     return layout

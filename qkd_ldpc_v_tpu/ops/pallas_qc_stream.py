@@ -113,6 +113,10 @@ def qc_stream_feasible(qc: QCMatrix, batch_tile: int = 8) -> bool:
     rows, _, num_be = _row_tables(qc)
     if num_be == 0 or num_be > _MAX_BLOCK_EDGES:
         return False
+    if any(not r for r in rows):
+        # An all-absent base row has no check update to stream; the
+        # generic engines handle such degenerate codes.
+        return False
     nb, mb = qc.base_bits, qc.base_checks
     max_deg = max(len(r) for r in rows)
     # Worst case (flooding): totals + channel LLRs + rebuild accumulator +
@@ -155,7 +159,10 @@ def _build(
     guard = algorithm == DecodingAlgorithm.SPA
 
     rows, cols, num_be = _row_tables(qc)
-    row_start = [r[0][0] if r else 0 for r in rows]
+    if any(not r for r in rows):
+        raise ValueError("streamed QC engine needs every base row "
+                         "non-empty (qc_stream_feasible gates this)")
+    row_start = [r[0][0] for r in rows]
     max_deg = max(len(r) for r in rows)
     # Flooding rebuilds totals fresh each iteration (exactness); it needs
     # the channel-LLR planes and an accumulator. The accumulator doubles as

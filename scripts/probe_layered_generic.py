@@ -72,7 +72,6 @@ def run(matrix, qber, alpha, L, frames=256, cap=100, seed=0):
 
     conv = np.zeros(frames, bool)
     iters = np.full(frames, cap, np.int32)
-    Tfrozen = T
     for it in range(cap):
         for li, groups in enumerate(layers):
             for gi, (cs, bits) in enumerate(groups):

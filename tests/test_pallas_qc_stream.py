@@ -259,6 +259,15 @@ def test_feasibility_gate():
     assert not qs.qc_stream_feasible(fake_qc(8, 4, 100, 3))
     # Beyond the compile-size guard (block-edge unroll).
     assert not qs.qc_stream_feasible(fake_qc(200, 60, 512, 4))
+    # An all-absent base row: no check update to stream — gated out (and
+    # the builder raises rather than crashing mid-trace).
+    empty_row = fake_qc(8, 4, 128, 3)
+    empty_row.shifts[2, :] = -1
+    assert not qs.qc_stream_feasible(empty_row)
+    with pytest.raises(ValueError, match="non-empty"):
+        qs.make_pallas_qc_stream_decoder(
+            empty_row, DecodingAlgorithm.NMSA, 10, False, interpret=True
+        )
 
 
 def test_engine_selection_prefers_qc_stream():
@@ -390,3 +399,101 @@ def test_decode_exact_small_shapes(nb, mb, z, cw, seed):
     np.testing.assert_array_equal(
         np.asarray(rres.decision), np.asarray(sres.decision)
     )
+
+
+def test_mc_mode_full_plumbing_with_stubbed_prng(qc, monkeypatch):
+    """mc mode is TPU-only in production (hardware PRNG), so its plumbing —
+    Alice generation + HBM spill, error-key selection, flip/readback, LLR
+    build, decode, key comparison — is exercised here by stubbing the PRNG
+    with a deterministic mixable stream and mirroring it on the host: the
+    kernel's (conv, keys_match, iters) must equal the XLA decoder run on
+    the mirrored channel exactly (flooding NMSA is bit-exact)."""
+    calls = {"n": 0}
+
+    def mix(x):
+        x = (x ^ (x >> 13)) * jnp.uint32(2654435761)
+        return x ^ (x >> 16)
+
+    def fake_seed(*_seeds):
+        calls["n"] = 0
+
+    def fake_bits(shape):
+        k = calls["n"]
+        calls["n"] += 1
+        a = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * jnp.uint32(7919)
+        b = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) * jnp.uint32(104729)
+        return mix(a ^ b ^ jnp.uint32(k * 97531))
+
+    monkeypatch.setattr(qs.pltpu, "prng_seed", fake_seed)
+    monkeypatch.setattr(qs.pltpu, "prng_random_bits", fake_bits)
+
+    z = qc.lifting
+    nb = qc.base_bits
+    n = qc.num_bit_nodes
+    tb = 8
+    ne = 25
+    qber = ne / n
+
+    mc = qs.make_pallas_qc_stream_montecarlo(
+        qc, DecodingAlgorithm.NMSA, 30, False, batch=tb, batch_tile=tb,
+        interpret=True,
+    )
+    conv, keys, iters = mc(3, ne, qber, 0.8, 0.0, 0.0)
+
+    # Host mirror of the stubbed stream (same mixing, numpy uint32 wrap).
+    def np_mix(x):
+        x = ((x ^ (x >> np.uint32(13)))
+             * np.uint32(2654435761)).astype(np.uint32)
+        return (x ^ (x >> np.uint32(16))).astype(np.uint32)
+
+    def np_bits(k):
+        a = (np.arange(tb, dtype=np.uint32)[:, None]
+             * np.uint32(7919))
+        b = (np.arange(z, dtype=np.uint32)[None, :]
+             * np.uint32(104729))
+        with np.errstate(over="ignore"):
+            return np_mix((a ^ b ^ np.uint32(k * 97531)).astype(np.uint32))
+
+    idx_bits = max(1, (n - 1).bit_length())
+    alice = np.zeros((tb, n), np.int8)
+    ekeys = np.zeros((tb, n), np.uint32)
+    for c in range(nb):
+        alice[:, c * z:(c + 1) * z] = (np_bits(c) & 1).astype(np.int8)
+    for c in range(nb):
+        eb = np_bits(nb + c)
+        pos = (np.arange(z, dtype=np.uint32) + np.uint32(c * z))[None, :]
+        ekeys[:, c * z:(c + 1) * z] = (
+            (eb >> np.uint32(idx_bits)) << np.uint32(idx_bits)
+        ) | pos
+    # exactly-ne smallest keys flip
+    thr = np.sort(ekeys, axis=1)[:, ne - 1:ne]
+    flip = (ekeys <= thr).astype(np.int8)
+    assert (flip.sum(axis=1) == ne).all()
+    bob = alice ^ flip
+
+    # Mirror the kernel's f32 LLR through the same XLA backend.
+    qf = jnp.float32(qber)
+    log_p = jnp.log((1.0 - qf) / qf)
+    llr = np.where(np.asarray(bob) == 1,
+                   -np.float32(log_p), np.float32(log_p)).astype(np.float32)
+    matrix = qc.to_hmatrix()
+    layout = layout_for(matrix)
+    bit_order = np.asarray(layout.bit_order)
+    syn_int = np.asarray(
+        syndrome_internal(layout, jnp.asarray(alice[:, bit_order]))
+    )
+    syn_ext = syn_int[:, np.asarray(layout.check_inv)]
+    ref = get_decoder(layout, DecodingAlgorithm.NMSA, 30, False,
+                      dtype=jnp.float32, jit=False)
+    rres = ref(jnp.asarray(llr), jnp.asarray(syn_ext), 0.8, 0.0, 0.0)
+    exp_keys = (np.asarray(rres.decision) == alice).all(axis=1) & np.asarray(
+        rres.syndromes_match
+    )
+
+    np.testing.assert_array_equal(
+        np.asarray(conv), np.asarray(rres.syndromes_match)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(iters), np.asarray(rres.iterations)
+    )
+    np.testing.assert_array_equal(np.asarray(keys), exp_keys)

@@ -134,6 +134,14 @@ def test_unconverged_frames_hit_cap(irregular):
     np.testing.assert_array_equal(
         np.asarray(rk.iterations), np.asarray(rg.iterations)
     )
+    # Unconverged frames too: the non-adaptive loop must report the
+    # decisions of iteration ``cap`` exactly (it skips the extra bit pass
+    # at cap+1 — the round-2 advisor finding), so the whole decision
+    # matrix equals the XLA decoder's, converged or not.
+    assert not np.asarray(rg.syndromes_match).all()
+    np.testing.assert_array_equal(
+        np.asarray(rk.decision), np.asarray(rg.decision)
+    )
 
 
 def test_trial_kernel_matches_decode(irregular):
