@@ -279,3 +279,92 @@ def test_driver_layered_falls_back_with_warning(qc, caplog):
         res = run_combination(qc.to_hmatrix(), comb, cfg, sim_number=0)
     assert any("layered" in r.message for r in caplog.records)
     assert 0.0 <= res.ratio_trials_success_ldpc <= 1.0
+
+
+def test_mc_mode_full_plumbing_with_stubbed_prng(qc, monkeypatch):
+    """The fused kernel's mc mode is TPU-only in production (hardware
+    PRNG); here the PRNG is stubbed with a deterministic mixable stream in
+    interpret mode and mirrored on the host — the kernel's (conv,
+    keys_match, iters) must exactly equal the XLA decoder run on the
+    mirrored channel (same stream contract as the streamed QC engine's
+    test, tests/test_pallas_qc_stream.py)."""
+    from qkd_ldpc_v_tpu.ops import pallas_qc as pk
+    from qkd_ldpc_v_tpu.ops.channel import syndrome_internal
+    from qkd_ldpc_v_tpu.ops.decoders import get_decoder
+
+    calls = {"n": 0}
+
+    def fake_seed(*_seeds):
+        calls["n"] = 0
+
+    def fake_bits(shape):
+        k = calls["n"]
+        calls["n"] += 1
+        a = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * jnp.uint32(7919)
+        b = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) * jnp.uint32(104729)
+        x = a ^ b ^ jnp.uint32(k * 97531)
+        x = (x ^ (x >> 13)) * jnp.uint32(2654435761)
+        return x ^ (x >> 16)
+
+    monkeypatch.setattr(pk.pltpu, "prng_seed", fake_seed)
+    monkeypatch.setattr(pk.pltpu, "prng_random_bits", fake_bits)
+
+    z = qc.lifting
+    nb = qc.base_bits
+    n = qc.num_bit_nodes
+    tb = 8
+    ne = 25
+    qber = ne / n
+    mc = pk.make_pallas_qc_montecarlo(
+        qc, DecodingAlgorithm.NMSA, 30, False, batch=tb, batch_tile=tb,
+        interpret=True,
+    )
+    conv, keys, iters = mc(3, ne, qber, 0.8, 0.0, 0.0)
+
+    def np_bits(k):
+        a = np.arange(tb, dtype=np.uint32)[:, None] * np.uint32(7919)
+        b = np.arange(z, dtype=np.uint32)[None, :] * np.uint32(104729)
+        with np.errstate(over="ignore"):
+            x = (a ^ b ^ np.uint32(k * 97531)).astype(np.uint32)
+            x = ((x ^ (x >> np.uint32(13)))
+                 * np.uint32(2654435761)).astype(np.uint32)
+        return (x ^ (x >> np.uint32(16))).astype(np.uint32)
+
+    idx_bits = max(1, (n - 1).bit_length())
+    alice = np.zeros((tb, n), np.int8)
+    ekeys = np.zeros((tb, n), np.uint32)
+    for c in range(nb):
+        alice[:, c * z:(c + 1) * z] = (np_bits(c) & 1).astype(np.int8)
+    for c in range(nb):
+        eb = np_bits(nb + c)
+        pos = (np.arange(z, dtype=np.uint32) + np.uint32(c * z))[None, :]
+        ekeys[:, c * z:(c + 1) * z] = (
+            (eb >> np.uint32(idx_bits)) << np.uint32(idx_bits)
+        ) | pos
+    thr = np.sort(ekeys, axis=1)[:, ne - 1:ne]
+    bob = alice ^ (ekeys <= thr).astype(np.int8)
+
+    qf = jnp.float32(qber)
+    log_p = jnp.log((1.0 - qf) / qf)
+    llr = np.where(bob == 1, -np.float32(log_p),
+                   np.float32(log_p)).astype(np.float32)
+    matrix = qc.to_hmatrix()
+    layout = layout_for(matrix)
+    bit_order = np.asarray(layout.bit_order)
+    syn_int = np.asarray(
+        syndrome_internal(layout, jnp.asarray(alice[:, bit_order]))
+    )
+    syn_ext = syn_int[:, np.asarray(layout.check_inv)]
+    ref = get_decoder(layout, DecodingAlgorithm.NMSA, 30, False,
+                      dtype=jnp.float32, jit=False)
+    rres = ref(jnp.asarray(llr), jnp.asarray(syn_ext), 0.8, 0.0, 0.0)
+    exp_keys = (np.asarray(rres.decision) == alice).all(axis=1) & np.asarray(
+        rres.syndromes_match
+    )
+    np.testing.assert_array_equal(
+        np.asarray(conv), np.asarray(rres.syndromes_match)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(iters), np.asarray(rres.iterations)
+    )
+    np.testing.assert_array_equal(np.asarray(keys), exp_keys)
