@@ -497,3 +497,47 @@ def test_mc_mode_full_plumbing_with_stubbed_prng(qc, monkeypatch):
         np.asarray(iters), np.asarray(rres.iterations)
     )
     np.testing.assert_array_equal(np.asarray(keys), exp_keys)
+
+
+def test_rate_adaptive_driver_matches_xla(qc, monkeypatch):
+    """Rate adaptation through the streamed QC engine: frames are built in
+    XLA (host-chosen puncture/shorten) and decoded by the engine's library
+    decoder — whose flooding is bit-exact vs the XLA decoder, so the sweep
+    statistics must equal the pure-XLA run exactly."""
+    from qkd_ldpc_v_tpu import simulation as sim
+    from qkd_ldpc_v_tpu.config import Config
+    from qkd_ldpc_v_tpu.rate_adapt import adapt_code_rate
+    import qkd_ldpc_v_tpu.ops.pallas_qc as _pk
+
+    matrix = qc.to_hmatrix()
+    qber = 0.03
+    params = adapt_code_rate(
+        np.random.default_rng(4), matrix, qber, delta=0.1, efficiency=1.3,
+    )
+
+    def cfg_for(use_pallas):
+        return Config(
+            trials_number=16,
+            simulation_seed=11,
+            decoding_algorithm=DecodingAlgorithm.NMSA,
+            decoding_alg_max_iterations=50,
+            batch_size=16,
+            enable_code_rate_adaptation=True,
+            use_pallas=use_pallas,
+        )
+
+    comb = sim.SimCombination(
+        qber, params, sim.ScalingFactors(primary=0.8)
+    )
+    ref = sim.run_combination(matrix, comb, cfg_for(False), sim_number=0)
+
+    monkeypatch.setattr(sim, "_STEP_CACHE", type(sim._STEP_CACHE)())
+    monkeypatch.setattr(_pk, "feasible_batch_tile", lambda *_a, **_k: 0)
+    assert sim.pallas_engine(matrix, cfg_for(True)) == "qc_stream"
+    got = sim.run_combination(matrix, comb, cfg_for(True), sim_number=0)
+
+    assert got.ratio_trials_success_decoding == ref.ratio_trials_success_decoding
+    assert got.ratio_trials_success_ldpc == ref.ratio_trials_success_ldpc
+    assert got.iter_success_mean == ref.iter_success_mean
+    assert got.iter_success_min == ref.iter_success_min
+    assert got.iter_success_max == ref.iter_success_max
