@@ -424,3 +424,83 @@ def test_spa_ignores_transport(medium_matrix):
                                   np.asarray(rb.decision))
     np.testing.assert_array_equal(np.asarray(ra.iterations),
                                   np.asarray(rb.iterations))
+
+
+def test_mc_mode_full_plumbing_with_stubbed_prng(monkeypatch):
+    """The generic kernel's mc mode is TPU-only in production (hardware
+    PRNG). Stubbing the PRNG with a deterministic mixable stream and
+    mirroring the flat node-plane channel on the host isolates the mc
+    prologue (key generation, valid-lane masking, k-th-smallest error
+    selection): mc output must exactly equal the trial kernel fed the
+    mirrored Alice/Bob keys (identical decode path)."""
+    from qkd_ldpc_v_tpu.ops import pallas_generic as pg
+
+    matrix = generate_regular_ldpc(512, 256, 3, seed=21)
+    plan = pg.plan_for(matrix)
+    nbr = plan.bits.node_rows
+    width = nbr * 128
+    tb = 8
+    ne = 12
+    n = matrix.num_bit_nodes
+    qber = ne / n
+
+    calls = {"n": 0}
+
+    def fake_seed(*_seeds):
+        calls["n"] = 0
+
+    def fake_bits(shape):
+        k = calls["n"]
+        calls["n"] += 1
+        a = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * jnp.uint32(7919)
+        b = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) * jnp.uint32(104729)
+        x = a ^ b ^ jnp.uint32(k * 97531)
+        x = (x ^ (x >> 13)) * jnp.uint32(2654435761)
+        return x ^ (x >> 16)
+
+    monkeypatch.setattr(pg.pltpu, "prng_seed", fake_seed)
+    monkeypatch.setattr(pg.pltpu, "prng_random_bits", fake_bits)
+
+    mc = pg.make_pallas_generic_montecarlo(
+        matrix, DecodingAlgorithm.NMSA, 30, False, batch=tb, batch_tile=tb,
+        interpret=True,
+    )
+    got = [np.asarray(x) for x in mc(3, ne, qber, 0.8, 0.0, 0.0)]
+
+    # Host mirror of the flat node-plane channel.
+    def np_bits(k):
+        a = np.arange(tb, dtype=np.uint32)[:, None] * np.uint32(7919)
+        b = np.arange(width, dtype=np.uint32)[None, :] * np.uint32(104729)
+        with np.errstate(over="ignore"):
+            x = (a ^ b ^ np.uint32(k * 97531)).astype(np.uint32)
+            x = ((x ^ (x >> np.uint32(13)))
+                 * np.uint32(2654435761)).astype(np.uint32)
+        return (x ^ (x >> np.uint32(16))).astype(np.uint32)
+
+    idx_bits = max(1, (width - 1).bit_length())
+    alice_flat = (np_bits(0) & 1).astype(np.int32)
+    ebits = np_bits(1)
+    pos = np.arange(width, dtype=np.uint32)[None, :]
+    valid = np.zeros(width, bool)
+    for d, count, blocks, noff, eoff in plan.bits.groups:
+        valid[noff * 128:noff * 128 + count] = True
+    keys = ((ebits >> np.uint32(idx_bits)) << np.uint32(idx_bits)) | pos
+    keys = np.where(valid[None, :], keys, np.uint32(0xFFFFFFFF))
+    thr = np.sort(keys, axis=1)[:, ne - 1:ne]
+    flip = (keys <= thr).astype(np.int32)
+    assert ((flip * valid[None, :]).sum(axis=1) == ne).all()
+    bob_flat = alice_flat ^ flip
+
+    plane_pos = np.asarray(plan.bits.plane_pos)
+    alice_ext = alice_flat[:, plane_pos].astype(np.int8)
+    bob_ext = bob_flat[:, plane_pos].astype(np.int8)
+
+    trial = pg.make_pallas_generic_trial(
+        matrix, DecodingAlgorithm.NMSA, 30, False, batch_tile=tb,
+        interpret=True,
+    )
+    exp = [np.asarray(x) for x in trial(
+        jnp.asarray(alice_ext), jnp.asarray(bob_ext), qber, 0.8, 0.0, 0.0
+    )]
+    for g, e in zip(got, exp):
+        np.testing.assert_array_equal(g, e)
