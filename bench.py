@@ -194,8 +194,10 @@ def main() -> int:
         from qkd_ldpc_v_tpu.models.hmatrix import read_matrix
         from qkd_ldpc_v_tpu.config import MatrixFormat
 
-        qc100k_trials = int(os.environ.get("BENCH_QC100K_TRIALS", "4096"))
-        qc100k_batch = int(os.environ.get("BENCH_QC100K_BATCH", "256"))
+        # Measured operating point (BASELINE.md round-3 table): layered
+        # batch 2048 = 15.8k f/s; batch 256 under-reports ~2.5x.
+        qc100k_trials = int(os.environ.get("BENCH_QC100K_TRIALS", "8192"))
+        qc100k_batch = int(os.environ.get("BENCH_QC100K_BATCH", "2048"))
         qc100k_sched = os.environ.get("BENCH_QC100K_SCHEDULE", "layered")
         from qkd_ldpc_v_tpu.simulation import pallas_engine
         from qkd_ldpc_v_tpu.config import Config as _Cfg

@@ -77,6 +77,13 @@ from qkd_ldpc_v_tpu.ops.linapprox import (
 # leaves headroom because this engine's pallas_call stages no large inputs
 # (HBM operands use pl.ANY and move by explicit DMA).
 _VMEM_BUDGET = 14 * 1024 * 1024
+# Mosaic's default scoped-VMEM limit is 16 MiB, below the v5e core's
+# physical VMEM; the flooding schedule's live set (totals + channel +
+# rebuild accumulator + slabs + compiler stack temporaries) peaks at
+# ~16.7 MB on the Z=2048 flagship, so the kernel requests a higher cap.
+# Measured on hardware: flooding at this limit compiles and runs (see
+# BASELINE.md round-3 streamed-QC section).
+_VMEM_LIMIT_BYTES = 32 * 1024 * 1024
 # Compile-size guard: the sweep body unrolls one check update per block
 # edge (like the fused kernel); beyond this the Mosaic program gets large
 # enough to risk the tunnel's remote-compile helper.
@@ -691,6 +698,7 @@ def _build(
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=_VMEM_LIMIT_BYTES,
             ),
         )(*operands)
 
