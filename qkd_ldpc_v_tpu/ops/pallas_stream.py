@@ -73,6 +73,12 @@ _MINNEUT = np.int32(np.uint32(0x7F7FFFFE))
 _MINNEUT2 = np.int32(np.uint32(0x7F7E7F7E))
 _MASK_HI = -65536  # 0xFFFF0000: high bf16 half
 _MASK_HI_NOLSB = -131072  # 0xFFFE0000
+# Mosaic's default scoped-VMEM limit is 16 MiB; on some committed codes the
+# staged-exchange kernels' live set lands within rounding of it (measured
+# 16.05 MB on the round-3 alist 100k asset, 48 KB over), so request
+# headroom explicitly (v5e physical VMEM is far larger — see
+# ops/pallas_qc_stream.py's _VMEM_LIMIT_BYTES note).
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
 
 
 def _stack(plans, attr):
@@ -631,6 +637,7 @@ def _build(
         ),
         scratch_shapes=[scratch(r_a), scratch(r_a)],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )
 
     b_in = (
@@ -665,6 +672,7 @@ def _build(
         out_shape=tuple(b_out_shape),
         scratch_shapes=[scratch(r_b), scratch(r_b)],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )
 
     i_out_specs = [staged_out_spec(kb_b, kb_c, ch_cm)]
@@ -691,6 +699,7 @@ def _build(
         out_shape=tuple(i_out_shape),
         scratch_shapes=[scratch(plan.to_cm.r1), scratch(plan.to_cm.r1)],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )
 
     call_s = pl.pallas_call(
@@ -705,6 +714,7 @@ def _build(
         ),
         scratch_shapes=[scratch(r_a), scratch(r_a)],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )
 
     # constant operand values

@@ -106,15 +106,15 @@ def main() -> int:
             ("QC 100k R=0.70 Z=2048 CW=3 (streamed QC)",
              read_matrix(qc_dir / "(N=102400,M=30720,R=0.70,CW=3,"
                          "Z=2048,SEED=56).mtrx", MatrixFormat.QC),
-             0.80, True, mid, 256),
+             0.80, True, mid, 1024),
             ("QC 100k R=0.84 Z=2048 CW=3 (streamed QC)",
              read_matrix(qc_dir / "(N=102400,M=16384,R=0.84,CW=3,"
                          "Z=2048,SEED=57).mtrx", MatrixFormat.QC),
-             0.80, True, (0.005, 0.01, 0.0125, 0.015, 0.02), 256),
+             0.80, True, (0.005, 0.01, 0.0125, 0.015, 0.02), 1024),
             ("QC 100k R=0.50 Z=2048 CW=3 (streamed QC)",
              read_matrix(qc_dir / "(N=102400,M=51200,R=0.50,CW=3,"
                          "Z=2048,SEED=58).mtrx", MatrixFormat.QC),
-             0.80, True, (0.06, 0.07, 0.08, 0.09, 0.10), 256),
+             0.80, True, (0.06, 0.07, 0.08, 0.09, 0.10), 1024),
         ]
         ref_100k = Path(
             "/root/reference/sparse_matrices/matrices_alist_100k_all/"
