@@ -26,7 +26,13 @@ A third field tracks the reference's largest production frames: the
 N=102400 alist matrix through the streaming HBM-resident kernel
 (``stream100k_frames_per_s``; see BASELINE.md §N=102400).
 
-Env knobs: BENCH_BATCH (default 196608), BENCH_STEPS (default 1),
+Every leg is timed as the median of BENCH_REPS (default 5) identical
+dispatches after one warmup, and the JSON carries the min/max spread —
+single sub-second dispatches through the tunnel proved unreliable
+(BENCH_r03 vs BASELINE.md, VERDICT r03).
+
+Env knobs: BENCH_REPS (default 5), BENCH_BATCH (default 196608),
+BENCH_STEPS (default 1),
 BENCH_ALIST=0 to skip the alist measurement (slow first compile),
 BENCH_ALIST_BATCH (default 8192), BENCH_100K=0 to skip the 100k
 measurement, BENCH_100K_TRIALS (default 1024 — enough 64-frame steps that
@@ -43,6 +49,25 @@ import os
 import sys
 import time
 from pathlib import Path
+from typing import NamedTuple
+
+
+class Sample(NamedTuple):
+    """Median-of-reps throughput with its observed spread (frames/s)."""
+
+    median: float
+    min: float
+    max: float
+    reps: int
+    fer: float
+
+    def fields(self, prefix: str) -> dict:
+        return {
+            f"{prefix}_frames_per_s": round(self.median, 1),
+            f"{prefix}_fps_min": round(self.min, 1),
+            f"{prefix}_fps_max": round(self.max, 1),
+            f"{prefix}_fer": round(self.fer, 5),
+        }
 
 REFERENCE_MATRIX = Path(
     "/root/reference/sparse_matrices/matrices_alist_10k_all/"
@@ -52,9 +77,13 @@ REFERENCE_MATRIX_100K = Path(
     "/root/reference/sparse_matrices/matrices_alist_100k_all/"
     "(N=102400,M=32001,R=0.69,CW=3,SEED=777).mtrx"
 )
-# Committed fallbacks (scripts/make_assets.py) so the 100k legs run from
+# Committed fallbacks (scripts/make_assets.py) so every leg runs from
 # this repo alone when the reference mount is absent.
 _REPO = Path(__file__).resolve().parent
+LOCAL_MATRIX_10K = (
+    _REPO / "sparse_matrices/matrices_alist"
+    / "(N=10240,M=2841,R=0.72,CW=4,SEED=66).mtrx"
+)
 LOCAL_MATRIX_100K = (
     _REPO / "sparse_matrices/matrices_alist"
     / "(N=102400,M=31744,R=0.69,CW=3,SEED=67).mtrx"
@@ -74,7 +103,15 @@ ALIST_ALPHA = 0.70
 
 
 def _measure(matrix, alpha, cfg_extra, batch, steps, label):
-    import jax
+    """Warm up once, then time BENCH_REPS (default 5) identical dispatches.
+
+    Round-3 lesson (VERDICT r03 §weak-1): a single sub-second dispatch
+    through the tunnel is not a round record — BENCH_r03's headline came in
+    16% under the documented number on one 0.69 s sample. Report the median
+    of >=5 timed dispatches plus the spread so the record carries its own
+    error bar.
+    """
+    import statistics
 
     from qkd_ldpc_v_tpu.config import Config, DecodingAlgorithm, RQBERRange
     from qkd_ldpc_v_tpu.rate_adapt import HMatrixParams
@@ -83,6 +120,8 @@ def _measure(matrix, alpha, cfg_extra, batch, steps, label):
         SimCombination,
         run_combination,
     )
+
+    reps = max(1, int(os.environ.get("BENCH_REPS", "5")))
 
     def cfg_for(trials):
         return Config(
@@ -104,16 +143,24 @@ def _measure(matrix, alpha, cfg_extra, batch, steps, label):
         f"mean_iters={warm.iter_success_mean:.1f}",
         file=sys.stderr,
     )
-    t0 = time.perf_counter()
-    res = run_combination(matrix, comb, cfg_for(steps * batch), sim_number=1)
-    elapsed = time.perf_counter() - t0
-    fps = steps * batch / elapsed
+    samples = []
+    fer = 0.0
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        res = run_combination(
+            matrix, comb, cfg_for(steps * batch), sim_number=1 + rep
+        )
+        elapsed = time.perf_counter() - t0
+        samples.append(steps * batch / elapsed)
+        fer = max(fer, 1 - res.ratio_trials_success_ldpc)
+    med = statistics.median(samples)
+    lo, hi = min(samples), max(samples)
     print(
-        f"bench[{label}]: {steps * batch} trials in {elapsed:.2f}s -> "
-        f"{fps:.0f} frames/s (FER={1 - res.ratio_trials_success_ldpc:.4f})",
+        f"bench[{label}]: {steps * batch} trials x{reps} -> median "
+        f"{med:.0f} frames/s [{lo:.0f}, {hi:.0f}] (FER<={fer:.4f})",
         file=sys.stderr,
     )
-    return fps, 1 - res.ratio_trials_success_ldpc
+    return Sample(med, lo, hi, reps, fer)
 
 
 def main() -> int:
@@ -137,32 +184,41 @@ def main() -> int:
     qc_matrix = generate_qc_peg(
         base_bits=20, base_checks=6, lifting=512, column_weight=4, seed=9
     ).to_hmatrix()
-    fps, fer = _measure(
+    head = _measure(
         qc_matrix, QC_ALPHA, {"use_pallas": True, "schedule": schedule},
         batch, steps, "qc-pallas",
     )
     flood_fields = {}
     if schedule == "layered" and os.environ.get("BENCH_FLOODING", "1") != "0":
-        ffps, ffer = _measure(
+        flood = _measure(
             qc_matrix, QC_ALPHA, {"use_pallas": True}, batch, steps,
             "qc-flooding",
         )
-        flood_fields = {"qc_flooding_frames_per_s": round(ffps, 1)}
+        flood_fields = {
+            "qc_flooding_frames_per_s": round(flood.median, 1),
+            "qc_flooding_fps_min": round(flood.min, 1),
+            "qc_flooding_fps_max": round(flood.max, 1),
+        }
 
     # The reference's own matrix (alist PEG): always measured so the round
-    # record tracks the weakest, most comparable number too.
+    # record tracks the weakest, most comparable number too. Falls back to
+    # the committed 10k alist asset when the reference mount is absent, as
+    # the 100k legs already do.
     alist_fields = {}
-    if os.environ.get("BENCH_ALIST", "1") != "0" and REFERENCE_MATRIX.exists():
+    matrix_10k = (
+        REFERENCE_MATRIX if REFERENCE_MATRIX.exists() else LOCAL_MATRIX_10K
+    )
+    if os.environ.get("BENCH_ALIST", "1") != "0" and matrix_10k.exists():
         alist_batch = int(os.environ.get("BENCH_ALIST_BATCH", "8192"))
-        alist = read_sparse_matrix_alist(REFERENCE_MATRIX)
-        afps, afer = _measure(
+        alist = read_sparse_matrix_alist(matrix_10k)
+        asample = _measure(
             alist, ALIST_ALPHA, {"use_pallas": True}, alist_batch, steps,
             "alist",
         )
         alist_fields = {
-            "alist_frames_per_s": round(afps, 1),
-            "alist_vs_baseline": round(afps / TARGET_FRAMES_PER_S, 4),
-            "alist_fer": round(afer, 5),
+            **asample.fields("alist"),
+            "alist_vs_baseline": round(asample.median / TARGET_FRAMES_PER_S, 4),
+            "alist_matrix": matrix_10k.name,
         }
 
     # The reference's largest production frames (N=102400) through the
@@ -176,14 +232,11 @@ def main() -> int:
     if os.environ.get("BENCH_100K", "1") != "0" and matrix_100k.exists():
         trials_100k = int(os.environ.get("BENCH_100K_TRIALS", "1024"))
         big = read_sparse_matrix_alist(matrix_100k)
-        sfps, sfer = _measure(
+        ssample = _measure(
             big, 0.8, {"use_pallas": True}, 64,
             max(1, trials_100k // 64), "stream-100k",
         )
-        stream_fields = {
-            "stream100k_frames_per_s": round(sfps, 1),
-            "stream100k_fer": round(sfer, 5),
-        }
+        stream_fields = ssample.fields("stream100k")
 
     # N=102400 through the streamed QC engine (ops/pallas_qc_stream.py):
     # circulant rolls + HBM-resident extrinsics — the committed Z=2048
@@ -210,7 +263,7 @@ def main() -> int:
         # bench record — fall back layered -> flooding -> omit.
         for sched in dict.fromkeys((qc100k_sched, "flooding")):
             try:
-                qfps, qfer = _measure(
+                qsample = _measure(
                     big_qc, 0.8, {"use_pallas": True, "schedule": sched},
                     qc100k_batch, max(1, qc100k_trials // qc100k_batch),
                     f"qc-100k-{sched}",
@@ -220,17 +273,20 @@ def main() -> int:
                       file=sys.stderr)
                 continue
             qc100k_fields = {
-                "qc100k_frames_per_s": round(qfps, 1),
-                "qc100k_fer": round(qfer, 5),
+                **qsample.fields("qc100k"),
                 "qc100k_schedule": sched,
+                "qc100k_batch": qc100k_batch,
             }
             break
 
     print(json.dumps({
         "metric": "decoded_10k_frames_per_s_qber0.03",
-        "value": round(fps, 1),
+        "value": round(head.median, 1),
         "unit": "frames/s",
-        "vs_baseline": round(fps / TARGET_FRAMES_PER_S, 4),
+        "vs_baseline": round(head.median / TARGET_FRAMES_PER_S, 4),
+        "value_fps_min": round(head.min, 1),
+        "value_fps_max": round(head.max, 1),
+        "bench_reps": head.reps,
         **flood_fields,
         **alist_fields,
         **stream_fields,

@@ -73,9 +73,10 @@ from qkd_ldpc_v_tpu.ops.linapprox import (
 )
 
 # VMEM budget for the resident planes (totals, channel LLRs, rebuild
-# accumulator, syndrome, streaming slabs, staging). The 16 MB scoped limit
-# leaves headroom because this engine's pallas_call stages no large inputs
-# (HBM operands use pl.ANY and move by explicit DMA).
+# accumulator, syndrome, streaming slabs, staging). This models only the
+# planes the engine allocates itself; compiler stack temporaries push the
+# real live set past Mosaic's 16 MiB default — hence the explicit
+# _VMEM_LIMIT_BYTES request below.
 _VMEM_BUDGET = 14 * 1024 * 1024
 # Mosaic's default scoped-VMEM limit is 16 MiB, below the v5e core's
 # physical VMEM; the flooding schedule's live set (totals + channel +

@@ -75,7 +75,7 @@ _MASK_HI = -65536  # 0xFFFF0000: high bf16 half
 _MASK_HI_NOLSB = -131072  # 0xFFFE0000
 # Mosaic's default scoped-VMEM limit is 16 MiB; on some committed codes the
 # staged-exchange kernels' live set lands within rounding of it (measured
-# 16.05 MB on the round-3 alist 100k asset, 48 KB over), so request
+# 16.05 MiB on the round-3 alist 100k asset, 48 KiB over), so request
 # headroom explicitly (v5e physical VMEM is far larger — see
 # ops/pallas_qc_stream.py's _VMEM_LIMIT_BYTES note).
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
