@@ -238,17 +238,17 @@ def main() -> int:
         )
         stream_fields = ssample.fields("stream100k")
 
-    # N=102400 through the streamed QC engine (ops/pallas_qc_stream.py):
-    # circulant rolls + HBM-resident extrinsics — the committed Z=2048
-    # CW=3 flagship code, layered schedule (BENCH_QC100K_SCHEDULE=flooding
-    # for the parity-semantics number).
+    # N=102400 through the fused QC kernel (ops/pallas_qc.py): the round-4
+    # VMEM discovery (scripts/probe_vmem.py) fits the whole message state
+    # in VMEM — zero HBM traffic mid-decode — on the committed Z=2048 CW=3
+    # flagship code; layered schedule (BENCH_QC100K_SCHEDULE=flooding for
+    # the parity-semantics number).
     qc100k_fields = {}
     if os.environ.get("BENCH_QC100K", "1") != "0" and QC_MATRIX_100K.exists():
         from qkd_ldpc_v_tpu.models.hmatrix import read_matrix
         from qkd_ldpc_v_tpu.config import MatrixFormat
 
-        # Measured operating point (BASELINE.md round-3 table): layered
-        # batch 2048 = 15.8k f/s; batch 256 under-reports ~2.5x.
+        # Measured operating point (BASELINE.md round-4 fused-100k table).
         qc100k_trials = int(os.environ.get("BENCH_QC100K_TRIALS", "8192"))
         qc100k_batch = int(os.environ.get("BENCH_QC100K_BATCH", "2048"))
         qc100k_sched = os.environ.get("BENCH_QC100K_SCHEDULE", "layered")
@@ -257,7 +257,7 @@ def main() -> int:
 
         big_qc = read_matrix(QC_MATRIX_100K, MatrixFormat.QC)
         engine = pallas_engine(big_qc, _Cfg(use_pallas=True))
-        assert engine == "qc_stream", engine  # the leg exists to measure it
+        assert engine == "qc", engine  # the leg exists to measure it
         # First hardware contact for a new kernel goes through the tunnel's
         # remote compiler; a compile failure must not take down the whole
         # bench record — fall back layered -> flooding -> omit.

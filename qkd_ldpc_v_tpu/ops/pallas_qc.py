@@ -45,6 +45,7 @@ from typing import Callable, List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -59,19 +60,50 @@ from qkd_ldpc_v_tpu.ops.linapprox import (
 )
 
 
+# The v5e core has far more physical VMEM than Mosaic's 16 MiB default
+# scoped limit: 120 MiB of VMEM scratch compiles and runs on the target
+# chip (scripts/probe_vmem.py, round 4). The fused kernel therefore
+# serves every reference frame size — including the N=102400 QC flagship
+# (~27 MB live set at TB=8) — with zero HBM traffic mid-decode. The
+# budget models only the declared scratch planes; the explicit
+# vmem_limit_bytes request below carries the margin for compiler stack
+# temporaries.
+_VMEM_BUDGET = 100 * 1024 * 1024
+_VMEM_LIMIT_CAP = 120 * 1024 * 1024
+# Compile-size guard (mirrors pallas_qc_stream._MAX_BLOCK_EDGES): the
+# sweep body unrolls one check update per block edge; beyond this the
+# Mosaic program risks the tunnel's remote-compile helper.
+_MAX_BLOCK_EDGES = 420
+
+
+def _vmem_limit_bytes(scratch_shapes) -> int:
+    """vmem_limit_bytes request: declared scratch + 48 MiB margin for
+    double-buffered operand block staging ([TB, N] key/LLR blocks in the
+    trial/decode modes) and compiler stack temporaries, clamped to the
+    measured workable ceiling."""
+    scratch = sum(
+        int(np.prod(s.shape)) * jnp.dtype(s.dtype).itemsize
+        for s in scratch_shapes
+    )
+    return int(min(max(scratch + 48 * 1024 * 1024, 32 * 1024 * 1024),
+                   _VMEM_LIMIT_CAP))
+
+
 def feasible_batch_tile(qc: QCMatrix, mode: str = "mc") -> int:
     """Largest workable batch tile for the fused QC kernel, or 0 when the
     code cannot fit VMEM at any tile (the driver then falls back to the
-    generic paths). Scratch: messages (num_be planes) + decisions/frozen/
-    LLR/syndrome planes, plus the MC mode's key and sort-key planes."""
+    streamed-QC / generic paths). Scratch: messages (num_be planes) +
+    decisions/frozen/LLR/syndrome planes, plus the MC mode's key and
+    sort-key planes."""
     if qc.lifting % 128:
         return 0
     num_be = int((qc.shifts >= 0).sum())
+    if num_be > _MAX_BLOCK_EDGES:
+        return 0
     nb, mb = qc.base_bits, qc.base_checks
     planes = num_be + 3 * nb + mb + (2 * nb if mode == "mc" else 0)
-    budget = 12 * 1024 * 1024  # leave headroom under the 16 MB VMEM limit
     for tile in (24, 16, 8):
-        if planes * tile * qc.lifting * 4 <= budget:
+        if planes * tile * qc.lifting * 4 <= _VMEM_BUDGET:
             return tile
     return 0
 
@@ -544,6 +576,9 @@ def _build(
             out_shape=out_shape,
             scratch_shapes=scratch_shapes,
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_vmem_limit_bytes(scratch_shapes),
+            ),
         )(*operands)
 
     return call, dtype, tb, n, m

@@ -1,10 +1,13 @@
 """HBM-resident Pallas TPU decoder for QC-LDPC codes too large for VMEM.
 
 The fused QC kernel (ops/pallas_qc.py) holds the whole per-tile message
-state in VMEM, which caps the frame size near N ~ 40k on a 16 MB-VMEM chip.
-This engine lifts that cap for quasi-cyclic codes the TPU-native way the
-round-2 review asked for: **circulant rolls instead of Clos permutes,
-block-rows streamed through VMEM**:
+state in VMEM, which caps the frame size — near N ~ 40k under Mosaic's
+16 MiB default scoped limit (the round-3 world this engine was built in),
+near N ~ 400k for CW=3 at the measured 100 MiB budget (round 4,
+scripts/probe_vmem.py). This engine lifts the cap further for
+quasi-cyclic codes the TPU-native way the round-2 review asked for:
+**circulant rolls instead of Clos permutes, block-rows streamed through
+VMEM**:
 
   * the *bit totals* (one [TB, Z] plane per base column — N floats per
     frame) stay resident in VMEM for the whole decode;
@@ -55,6 +58,7 @@ mode.
 
 from __future__ import annotations
 
+import math
 from typing import Callable, List, Tuple
 
 import jax
@@ -75,16 +79,22 @@ from qkd_ldpc_v_tpu.ops.linapprox import (
 # VMEM budget for the resident planes (totals, channel LLRs, rebuild
 # accumulator, syndrome, streaming slabs, staging). This models only the
 # planes the engine allocates itself; compiler stack temporaries push the
-# real live set past Mosaic's 16 MiB default — hence the explicit
-# _VMEM_LIMIT_BYTES request below.
-_VMEM_BUDGET = 14 * 1024 * 1024
-# Mosaic's default scoped-VMEM limit is 16 MiB, below the v5e core's
-# physical VMEM; the flooding schedule's live set (totals + channel +
-# rebuild accumulator + slabs + compiler stack temporaries) peaks at
-# ~16.7 MB on the Z=2048 flagship, so the kernel requests a higher cap.
-# Measured on hardware: flooding at this limit compiles and runs (see
-# BASELINE.md round-3 streamed-QC section).
-_VMEM_LIMIT_BYTES = 32 * 1024 * 1024
+# real live set well past Mosaic's 16 MiB *default* scoped limit — hence
+# the computed vmem_limit_bytes request below. The v5e core physically
+# has 128 MiB of VMEM and 120 MiB of scratch is measured workable
+# (scripts/probe_vmem.py, round 4), so the budget matches the fused
+# kernel's (pallas_qc._VMEM_BUDGET). With the fused kernel now serving
+# every committed frame size, this engine is the next capacity tier:
+# codes whose *fused* live set (which adds one [TB, Z] plane per block
+# edge) overflows but whose resident totals still fit — roughly
+# N up to ~700k for CW=3/4 QC codes at TB=8.
+_VMEM_BUDGET = 72 * 1024 * 1024
+_VMEM_LIMIT_CAP = 120 * 1024 * 1024
+# Floor for the vmem_limit_bytes request: the Z=2048 flagship's flooding
+# live set (resident planes + compiler stack temporaries) peaked at
+# ~16.7 MiB, past the 16 MiB default; 32 MiB is the measured-working
+# request from round 3 (BASELINE.md round-3 streamed-QC section).
+_VMEM_LIMIT_FLOOR = 32 * 1024 * 1024
 # Compile-size guard: the sweep body unrolls one check update per block
 # edge (like the fused kernel); beyond this the Mosaic program gets large
 # enough to risk the tunnel's remote-compile helper.
@@ -115,7 +125,10 @@ def _row_tables(qc: QCMatrix):
 def qc_stream_feasible(qc: QCMatrix, batch_tile: int = 8) -> bool:
     """Whether the streamed QC engine can run this code: Z must be a lane
     multiple, the block-edge count must stay under the compile-size guard,
-    and the VMEM-resident planes must fit the budget at the batch tile."""
+    and the VMEM-resident planes must fit the budget at the batch tile.
+    Engine order puts the fused kernel first wherever it fits
+    (simulation.pallas_engine); this gate extends the QC ladder to codes
+    whose per-edge message planes overflow the fused budget."""
     if qc.lifting % 128:
         return False
     rows, _, num_be = _row_tables(qc)
@@ -642,6 +655,21 @@ def _build(
         pltpu.VMEM((mb, tb, z), jnp.int32),        # syndrome planes
         pltpu.VMEM((2, max_deg, tb, z), dtype),    # streaming slabs
         pltpu.VMEM((4, tb, z), jnp.int32),         # staging planes
+    ]
+    # Declared resident bytes + half again as margin: Mosaic's stack
+    # temporaries scale with the working set, not a constant — measured
+    # ~28% of resident on an N=409600 flooding build (61.88M live over
+    # 48.2M declared; a flat 16 MiB margin OOM'd by 648 KiB). Floored at
+    # the measured-working 32 MiB request (round-3 flagship: resident
+    # ~12 MiB, live peak ~16.7 MiB) and capped at the probed ceiling;
+    # _VMEM_BUDGET (the gate) keeps 1.5x resident under the cap.
+    resident = sum(
+        int(jnp.dtype(s.dtype).itemsize) * math.prod(s.shape)
+        for s in scratch_shapes
+    )
+    vmem_limit = int(min(max(resident + resident // 2,
+                             _VMEM_LIMIT_FLOOR), _VMEM_LIMIT_CAP))
+    scratch_shapes += [
         pltpu.SemaphoreType.DMA((2,)),             # slab in
         pltpu.SemaphoreType.DMA((2,)),             # slab out
         pltpu.SemaphoreType.DMA((2,)),             # staging
@@ -699,7 +727,7 @@ def _build(
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
-                vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+                vmem_limit_bytes=vmem_limit,
             ),
         )(*operands)
 

@@ -111,9 +111,17 @@ def main() -> int:
             / "(N=102400,M=30720,R=0.70,CW=3,Z=2048,SEED=56).mtrx",
             MatrixFormat.QC)
         cfgp = Config(use_pallas=True)
-        assert pallas_engine(m, cfgp) == "qc_stream"
-        fps, conv = _fps(m, {}, 256, args.trials, 0.045, 0.8, cap,
-                         "qc_stream")
+        # Round 4: the flagship routes to the fused kernel; force the
+        # fused gate shut so this row measures the streamed engine.
+        import qkd_ldpc_v_tpu.ops.pallas_qc as _pk
+        orig_gate = _pk.feasible_batch_tile
+        _pk.feasible_batch_tile = lambda *a, **k: 0
+        try:
+            assert pallas_engine(m, cfgp) == "qc_stream"
+            fps, conv = _fps(m, {}, 256, args.trials, 0.045, 0.8, cap,
+                             "qc_stream")
+        finally:
+            _pk.feasible_batch_tile = orig_gate
         assert conv < 0.02, conv
         per = 1e6 / (fps * cap)
         traffic = 2 * 4 * 3 * m.num_bit_nodes  # bytes/frame/sweep

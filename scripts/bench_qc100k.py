@@ -42,6 +42,9 @@ def main() -> int:
     ap.add_argument("--alpha", type=float, default=0.8)
     ap.add_argument("--qber", type=float, default=0.03)
     ap.add_argument("--max-iterations", type=int, default=100)
+    ap.add_argument("--engine", default="any",
+                    help="assert the driver picks this engine "
+                         "(qc | qc_stream | any)")
     args = ap.parse_args()
 
     from qkd_ldpc_v_tpu.utils import enable_compilation_cache
@@ -78,8 +81,10 @@ def main() -> int:
                 use_pallas=True,
                 schedule=schedule,
             )
-            assert pallas_engine(matrix, cfg) == "qc_stream", \
-                pallas_engine(matrix, cfg)
+            engine = pallas_engine(matrix, cfg)
+            if args.engine != "any":
+                assert engine == args.engine, engine
+            print(f"[{schedule} b={batch}] engine={engine}", flush=True)
             comb = SimCombination(
                 args.qber, HMatrixParams(),
                 ScalingFactors(primary=args.alpha),
