@@ -15,10 +15,20 @@ scale") plus one JSON line per point.
 
 Usage: python scripts/fer_parity_campaign.py [trials] [--cpu]
          [--matrix=PATH] [--points=NAME:QBER,...] [--chunk=N]
+         [--qc] [--schedule=flooding|layered] [--check-stream]
 
 --matrix accepts any alist matrix; the framework engine is picked by
 feasibility (fused generic kernel, or the streaming HBM-resident kernel
-for giant frames like the reference's N=102400 suite).
+for giant frames like the reference's N=102400 suite). With --qc the
+matrix is read in the QC shift format, expanded to alist in a temp file
+for the C++ side (the reference has no QC reader), and decoded through
+the production fused QC kernel; --schedule=layered compares the
+beyond-reference layered schedule's FER against the flooding C++ (frame
+agreement is then informational — the schedules converge on different
+frames near threshold). --check-stream additionally runs every chunk
+through the streamed QC engine and asserts its (conv, keys, iters)
+equal the fused kernel's — the cross-engine equality proof at the
+flagship operating points.
 """
 
 from __future__ import annotations
@@ -156,18 +166,62 @@ def main() -> int:
     from qkd_ldpc_v_tpu.ops.pallas_stream import make_pallas_stream_trial
 
     interpret = jax.default_backend() == "cpu"
-    matrix = read_sparse_matrix_alist(matrix_path)
+    use_qc = "--qc" in sys.argv
+    schedule = opts.get("schedule", "flooding")
+    check_stream = "--check-stream" in sys.argv
+    stream_trial_for = None
+    if use_qc:
+        import tempfile
+
+        from qkd_ldpc_v_tpu.config import MatrixFormat
+        from qkd_ldpc_v_tpu.models.hmatrix import read_matrix, write_alist
+        from qkd_ldpc_v_tpu.ops.pallas_qc import (
+            feasible_batch_tile, make_pallas_qc_trial,
+        )
+
+        matrix = read_matrix(matrix_path, MatrixFormat.QC)
+        # The reference reads alist, not QC shifts: expand for the C++ side.
+        tmp = tempfile.NamedTemporaryFile(
+            suffix=".mtrx", prefix="qc_expanded_", delete=False
+        )
+        tmp.close()
+        write_alist(matrix, tmp.name)
+        matrix_path = Path(tmp.name)
+        assert feasible_batch_tile(matrix.qc) > 0, "fused QC gate shut"
+        engine_name = f"qc/{schedule}"
+        if check_stream:
+            from qkd_ldpc_v_tpu.ops.pallas_qc_stream import (
+                make_pallas_qc_stream_trial,
+            )
+
+            def stream_trial_for(alg):
+                return make_pallas_qc_stream_trial(
+                    matrix.qc, DecodingAlgorithm(alg), 100, False,
+                    interpret=interpret, schedule=schedule,
+                )
+        use_stream = False
+    else:
+        matrix = read_sparse_matrix_alist(matrix_path)
+        use_stream = not generic_plan_feasible(matrix)
+        engine_name = "stream" if use_stream else "generic"
     n = matrix.num_bit_nodes
-    use_stream = not generic_plan_feasible(matrix)
     print(f"device: {jax.devices()[0]}  trials/point: {trials}  "
-          f"N={n}  engine={'stream' if use_stream else 'generic'}",
+          f"N={n}  engine={engine_name}",
           file=sys.stderr, flush=True)
 
     rows = ["| alg | QBER | FER ref (95% CI) | FER tpu (95% CI) | "
             "frame agreement | iters ref/tpu |",
             "|---|---|---|---|---|---|"]
     for alg, name, primary, secondary, qber in points:
-        if use_stream:
+        stream_trial = None
+        if use_qc:
+            trial = make_pallas_qc_trial(
+                matrix.qc, DecodingAlgorithm(alg), 100, False,
+                interpret=interpret, schedule=schedule,
+            )
+            if stream_trial_for is not None:
+                stream_trial = stream_trial_for(alg)
+        elif use_stream:
             trial = make_pallas_stream_trial(
                 matrix, DecodingAlgorithm(alg), 100, False,
                 interpret=interpret,
@@ -194,6 +248,16 @@ def main() -> int:
             )
             conv_o = np.asarray(conv_o)
             keys_o = np.asarray(keys_o)
+            if stream_trial is not None:
+                conv_s, keys_s, iters_s = stream_trial(
+                    jnp.asarray(alice), jnp.asarray(bob), q, primary,
+                    secondary, 0.0,
+                )
+                np.testing.assert_array_equal(np.asarray(conv_s), conv_o)
+                np.testing.assert_array_equal(np.asarray(keys_s), keys_o)
+                np.testing.assert_array_equal(
+                    np.asarray(iters_s), np.asarray(iters_o)
+                )
             ok_r = conv_r & keys_r
             ok_o = conv_o & keys_o
             rc += conv_r.sum(); rk += ok_r.sum()
