@@ -15,20 +15,25 @@ scale") plus one JSON line per point.
 
 Usage: python scripts/fer_parity_campaign.py [trials] [--cpu]
          [--matrix=PATH] [--points=NAME:QBER,...] [--chunk=N]
-         [--qc] [--schedule=flooding|layered] [--check-stream]
+         [--qc] [--schedule=flooding[,layered]] [--check-stream]
 
 --matrix accepts any alist matrix; the framework engine is picked by
 feasibility (fused generic kernel, or the streaming HBM-resident kernel
 for giant frames like the reference's N=102400 suite). With --qc the
 matrix is read in the QC shift format, expanded to alist in a temp file
 for the C++ side (the reference has no QC reader), and decoded through
-the production fused QC kernel; --schedule=layered compares the
-beyond-reference layered schedule's FER against the flooding C++ (frame
-agreement is then informational — the schedules converge on different
-frames near threshold). --check-stream additionally runs every chunk
-through the streamed QC engine and asserts its (conv, keys, iters)
-equal the fused kernel's — the cross-engine equality proof at the
-flagship operating points.
+the production fused QC kernel; --schedule accepts a comma list so one
+pass over the expensive C++ side serves every schedule on identical
+channels. Layered rows compare the beyond-reference layered schedule's
+FER against the flooding C++ (frame agreement is then informational —
+the schedules converge on different frames near threshold).
+--check-stream additionally runs every chunk through the streamed QC
+engine and asserts it against the fused kernel per the documented
+contract: (conv, keys, iters) exactly equal for layered (all
+algorithms) and non-adaptive flooding; for adaptive flooding
+(ANMSA/AOMSA, whose in-check factor feedback is accumulation-order
+sensitive) keys must agree on mutually-converged frames and the
+per-frame (conv & keys) agreement rate is reported.
 """
 
 from __future__ import annotations
@@ -167,9 +172,8 @@ def main() -> int:
 
     interpret = jax.default_backend() == "cpu"
     use_qc = "--qc" in sys.argv
-    schedule = opts.get("schedule", "flooding")
+    schedules = opts.get("schedule", "flooding").split(",")
     check_stream = "--check-stream" in sys.argv
-    stream_trial_for = None
     if use_qc:
         import tempfile
 
@@ -188,17 +192,7 @@ def main() -> int:
         write_alist(matrix, tmp.name)
         matrix_path = Path(tmp.name)
         assert feasible_batch_tile(matrix.qc) > 0, "fused QC gate shut"
-        engine_name = f"qc/{schedule}"
-        if check_stream:
-            from qkd_ldpc_v_tpu.ops.pallas_qc_stream import (
-                make_pallas_qc_stream_trial,
-            )
-
-            def stream_trial_for(alg):
-                return make_pallas_qc_stream_trial(
-                    matrix.qc, DecodingAlgorithm(alg), 100, False,
-                    interpret=interpret, schedule=schedule,
-                )
+        engine_name = "qc/" + "+".join(schedules)
         use_stream = False
     else:
         matrix = read_sparse_matrix_alist(matrix_path)
@@ -213,27 +207,51 @@ def main() -> int:
             "frame agreement | iters ref/tpu |",
             "|---|---|---|---|---|---|"]
     for alg, name, primary, secondary, qber in points:
-        stream_trial = None
+        # One evaluation path per schedule (qc mode) or a single path
+        # (generic/stream modes); the C++ side runs once per chunk and
+        # every path scores against it on the identical channels.
+        paths = []
         if use_qc:
-            trial = make_pallas_qc_trial(
-                matrix.qc, DecodingAlgorithm(alg), 100, False,
-                interpret=interpret, schedule=schedule,
+            from qkd_ldpc_v_tpu.ops.pallas_qc_stream import (
+                make_pallas_qc_stream_trial,
             )
-            if stream_trial_for is not None:
-                stream_trial = stream_trial_for(alg)
+
+            for schedule in schedules:
+                stream_trial = None
+                if check_stream:
+                    stream_trial = make_pallas_qc_stream_trial(
+                        matrix.qc, DecodingAlgorithm(alg), 100, False,
+                        interpret=interpret, schedule=schedule,
+                    )
+                paths.append({
+                    "label": schedule,
+                    "trial": make_pallas_qc_trial(
+                        matrix.qc, DecodingAlgorithm(alg), 100, False,
+                        interpret=interpret, schedule=schedule,
+                    ),
+                    "stream_trial": stream_trial,
+                    # Documented streamed-engine contract: bit-exact for
+                    # layered (all algorithms) and non-adaptive flooding;
+                    # converged-keys equality for adaptive flooding.
+                    "stream_exact": schedule == "layered" or alg < 4,
+                })
         elif use_stream:
-            trial = make_pallas_stream_trial(
-                matrix, DecodingAlgorithm(alg), 100, False,
-                interpret=interpret,
-            )
+            paths.append({"label": "", "stream_trial": None,
+                          "trial": make_pallas_stream_trial(
+                              matrix, DecodingAlgorithm(alg), 100, False,
+                              interpret=interpret,
+                          )})
         else:
-            trial = jax.jit(make_pallas_generic_trial(
-                matrix, DecodingAlgorithm(alg), 100, False,
-                batch_tile=8, interpret=interpret,
-            ))
+            paths.append({"label": "", "stream_trial": None,
+                          "trial": jax.jit(make_pallas_generic_trial(
+                              matrix, DecodingAlgorithm(alg), 100, False,
+                              batch_tile=8, interpret=interpret,
+                          ))})
+        for p in paths:
+            p.update(oc=0, ok=0, agree=0, oi_sum=0, s_ok_agree=0)
         rng = np.random.default_rng(977 + alg)
-        rc = rk = oc = ok_ = agree = n_done = 0
-        ri_sum = oi_sum = 0
+        rc = rk = n_done = 0
+        ri_sum = 0
         t0 = time.perf_counter()
         while n_done < trials:
             take = min(chunk, trials - n_done)
@@ -242,50 +260,75 @@ def main() -> int:
                 matrix_path, alg, primary, secondary, alice, bob, q
             )
             import jax.numpy as jnp
-            conv_o, keys_o, iters_o = trial(
-                jnp.asarray(alice), jnp.asarray(bob), q, primary, secondary,
-                0.0,
-            )
-            conv_o = np.asarray(conv_o)
-            keys_o = np.asarray(keys_o)
-            if stream_trial is not None:
-                conv_s, keys_s, iters_s = stream_trial(
+            ok_r = conv_r & keys_r
+            rc += conv_r.sum(); rk += ok_r.sum()
+            ri_sum += iters_r[conv_r].sum()
+            for p in paths:
+                conv_o, keys_o, iters_o = p["trial"](
                     jnp.asarray(alice), jnp.asarray(bob), q, primary,
                     secondary, 0.0,
                 )
-                np.testing.assert_array_equal(np.asarray(conv_s), conv_o)
-                np.testing.assert_array_equal(np.asarray(keys_s), keys_o)
-                np.testing.assert_array_equal(
-                    np.asarray(iters_s), np.asarray(iters_o)
-                )
-            ok_r = conv_r & keys_r
-            ok_o = conv_o & keys_o
-            rc += conv_r.sum(); rk += ok_r.sum()
-            oc += conv_o.sum(); ok_ += ok_o.sum()
-            agree += (ok_r == ok_o).sum()
-            ri_sum += iters_r[conv_r].sum()
-            oi_sum += np.asarray(iters_o)[conv_o].sum()
+                conv_o = np.asarray(conv_o)
+                keys_o = np.asarray(keys_o)
+                if p["stream_trial"] is not None:
+                    conv_s, keys_s, iters_s = p["stream_trial"](
+                        jnp.asarray(alice), jnp.asarray(bob), q, primary,
+                        secondary, 0.0,
+                    )
+                    conv_s = np.asarray(conv_s)
+                    keys_s = np.asarray(keys_s)
+                    if p["stream_exact"]:
+                        np.testing.assert_array_equal(conv_s, conv_o)
+                        np.testing.assert_array_equal(keys_s, keys_o)
+                        np.testing.assert_array_equal(
+                            np.asarray(iters_s), np.asarray(iters_o)
+                        )
+                        p["s_ok_agree"] += take
+                    else:
+                        both = conv_s & conv_o
+                        np.testing.assert_array_equal(
+                            keys_s[both], keys_o[both]
+                        )
+                        p["s_ok_agree"] += (
+                            (conv_s & keys_s) == (conv_o & keys_o)
+                        ).sum()
+                ok_o = conv_o & keys_o
+                p["oc"] += conv_o.sum(); p["ok"] += ok_o.sum()
+                p["agree"] += (ok_r == ok_o).sum()
+                p["oi_sum"] += np.asarray(iters_o)[conv_o].sum()
             n_done += take
             print(f"  {name} q={qber}: {n_done}/{trials} "
                   f"({time.perf_counter()-t0:.0f}s)",
                   file=sys.stderr, flush=True)
-        fer_r, fer_o = 1 - rk / n_done, 1 - ok_ / n_done
+        fer_r = 1 - rk / n_done
         lo_r, hi_r = wilson_ci(n_done - rk, n_done)
-        lo_o, hi_o = wilson_ci(n_done - ok_, n_done)
-        overlap = not (hi_r < lo_o or hi_o < lo_r)
-        rows.append(
-            f"| {name}({primary}"
-            + (f",{secondary}" if alg >= 4 else "")
-            + f") | {qber} | {fer_r:.4f} [{lo_r:.4f},{hi_r:.4f}] "
-            f"| {fer_o:.4f} [{lo_o:.4f},{hi_o:.4f}] "
-            f"| {agree/n_done:.4f} | {ri_sum/max(rc,1):.1f}/"
-            f"{oi_sum/max(oc,1):.1f} |"
-        )
-        print(json.dumps({
-            "alg": name, "qber": qber, "trials": n_done,
-            "fer_ref": round(fer_r, 5), "fer_tpu": round(fer_o, 5),
-            "ci_overlap": overlap, "frame_agreement": round(agree / n_done, 5),
-        }), flush=True)
+        for p in paths:
+            fer_o = 1 - p["ok"] / n_done
+            lo_o, hi_o = wilson_ci(n_done - p["ok"], n_done)
+            overlap = not (hi_r < lo_o or hi_o < lo_r)
+            label = f" {p['label']}" if p["label"] else ""
+            rows.append(
+                f"| {name}({primary}"
+                + (f",{secondary}" if alg >= 4 else "")
+                + f"){label} | {qber} | {fer_r:.4f} [{lo_r:.4f},{hi_r:.4f}] "
+                f"| {fer_o:.4f} [{lo_o:.4f},{hi_o:.4f}] "
+                f"| {p['agree']/n_done:.4f} | {ri_sum/max(rc,1):.1f}/"
+                f"{p['oi_sum']/max(p['oc'],1):.1f} |"
+            )
+            record = {
+                "alg": name, "qber": qber, "trials": n_done,
+                "schedule": p["label"] or None,
+                "fer_ref": round(fer_r, 5),
+                "fer_tpu": round(fer_o, 5),
+                "ci_overlap": overlap,
+                "frame_agreement": round(p["agree"] / n_done, 5),
+            }
+            if p["stream_trial"] is not None:
+                record["stream_ok_agreement"] = round(
+                    p["s_ok_agree"] / n_done, 5
+                )
+                record["stream_exact"] = p["stream_exact"]
+            print(json.dumps(record), flush=True)
     print("\n".join(rows))
     return 0
 
