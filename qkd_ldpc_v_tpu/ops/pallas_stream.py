@@ -75,14 +75,40 @@ _MASK_HI = -65536  # 0xFFFF0000: high bf16 half
 _MASK_HI_NOLSB = -131072  # 0xFFFE0000
 # Mosaic's default scoped-VMEM limit is 16 MiB; on some committed codes the
 # staged-exchange kernels' live set lands within rounding of it (measured
-# 16.05 MiB on the round-3 alist 100k asset, 48 KiB over), so request
-# headroom explicitly (v5e physical VMEM is far larger — see
-# ops/pallas_qc_stream.py's _VMEM_LIMIT_BYTES note).
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+# 16.05 MiB on the round-3 alist 100k asset, 48 KiB over). The v5e core
+# physically carries 128 MiB and 120 MiB of scratch is measured workable
+# (scripts/probe_vmem.py), so each pallas_call requests a limit computed
+# from its own block working set (floored at the round-3 measured-working
+# 32 MiB, capped at the probed ceiling) — this is what admits batch tiles
+# beyond 8 and block caps beyond 512.
+_VMEM_LIMIT_FLOOR = 32 * 1024 * 1024
+_VMEM_LIMIT_CAP = 120 * 1024 * 1024
+
+
+def _vmem_params(in_specs_bytes, out_bytes, scratch_bytes):
+    """CompilerParams with a vmem_limit_bytes request sized to the call:
+    grid in/out blocks are double-buffered by Mosaic (x2), scratch is
+    single-buffered, plus half again for compiler stack temporaries
+    (mirrors ops/pallas_qc_stream.py's measured ~28%-of-resident rule)."""
+    resident = 2 * (in_specs_bytes + out_bytes) + scratch_bytes
+    limit = resident + resident // 2
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int(
+            min(max(limit, _VMEM_LIMIT_FLOOR), _VMEM_LIMIT_CAP)
+        )
+    )
 
 
 def _stack(plans, attr):
-    return jnp.asarray(np.stack([getattr(p, attr) for p in plans]))
+    """Stack one per-block permute table over blocks, narrowed to int8 for
+    HBM residency: every lane-gather index is < 128 and every bsel tile id
+    is < n_tiles <= 127, so the narrow store is lossless; kernels widen to
+    int32 once per block (the tables are re-streamed from HBM every grid
+    step, so at f32/bf16x2 message width they were ~a third of the
+    iteration's HBM bytes at int32 — see BASELINE.md round-4)."""
+    arr = np.stack([getattr(p, attr) for p in plans])
+    assert arr.min() >= 0 and arr.max() < 128, attr
+    return jnp.asarray(arr.astype(np.int8))
 
 
 def _dir_tables(d):
@@ -222,14 +248,21 @@ def _build(
 
     def permute(tabs, a, b, r):
         """Seven-stage in-VMEM Clos pipeline on rows [0, r) of a/b (2-buffer
-        ping-pong; result lands in b, a is clobbered)."""
-        idx_l1, idx_c, bsel, idx_a, idx_l2 = tabs
+        ping-pong; result lands in b, a is clobbered). Tables arrive int8
+        (HBM-narrow); gather indices widen once here."""
+        idx_l1, idx_c, bsel, idx_a, idx_l2 = (
+            tabs[0][0].astype(jnp.int32),
+            tabs[1][0].astype(jnp.int32),
+            tabs[2],
+            tabs[3][0].astype(jnp.int32),
+            tabs[4][0].astype(jnp.int32),
+        )
         tn = r // LANES
 
         def lane_gather(src, dst, idx):
             for t in range(tp):
                 dst[t, 0:r, :] = jnp.take_along_axis(
-                    src[t, 0:r, :], idx[0], axis=1
+                    src[t, 0:r, :], idx, axis=1
                 )
 
         def tile_transpose(src, dst):
@@ -297,7 +330,8 @@ def _build(
                 b = (slab(s) > 0.5).astype(jnp.int32)
                 par = b if par is None else par ^ b
             mism_ref[0] = jnp.sum(
-                jnp.sum(par ^ syn_ref[0], axis=2, keepdims=True), axis=1
+                jnp.sum(par ^ syn_ref[0].astype(jnp.int32), axis=2,
+                        keepdims=True), axis=1
             )
 
         # Assemble staged chunks (src bit blocks) into P2_cm's input space.
@@ -338,7 +372,7 @@ def _build(
         for h in range(halves):
             # Decision syndrome from the per-half message LSBs (pad slots
             # have LSB 0).
-            syn_h = syn_ref[0][hrows(h)]
+            syn_h = syn_ref[0][hrows(h)].astype(jnp.int32)
             par = None
             for w in words:
                 b = lsb(w, h)
@@ -436,10 +470,10 @@ def _build(
             dec = (total <= 0).astype(jnp.int32)
             dec_per_half.append(dec)
             if mode == "decode":
-                dec_ref[0, hrows(h)] = dec
+                dec_ref[0, hrows(h)] = dec.astype(jnp.int8)
             else:
-                diff = (dec != alice_ref[0][hrows(h)]).astype(jnp.int32) \
-                    * valid
+                diff = (dec != alice_ref[0][hrows(h)].astype(jnp.int32)) \
+                    .astype(jnp.int32) * valid
                 km_ref[0, hrows(h)] = jnp.sum(
                     jnp.sum(diff, axis=2, keepdims=True), axis=1
                 )
@@ -568,7 +602,7 @@ def _build(
                     unpack(x1[:, s * l_c:(s + 1) * l_c, :], h) > 0.5
                 ).astype(jnp.int32)
                 par = b if par is None else par ^ b
-            syn_ref[0, hrows(h)] = par
+            syn_ref[0, hrows(h)] = par.astype(jnp.int8)
 
     # ------------------------------------------------------------------
     # pallas_call plumbing
@@ -662,7 +696,7 @@ def _build(
     if mode == "decode":
         b_out_specs.append(plane_spec(bits.l_blk))
         b_out_shape.append(
-            jax.ShapeDtypeStruct((kb_b, tb, bits.l_blk, LANES), jnp.int32)
+            jax.ShapeDtypeStruct((kb_b, tb, bits.l_blk, LANES), jnp.int8)
         )
     call_b = pl.pallas_call(
         kernel_b,
@@ -710,7 +744,7 @@ def _build(
         ),
         out_specs=(plane_spec(checks.l_blk),),
         out_shape=(
-            jax.ShapeDtypeStruct((kb_c, tb, checks.l_blk, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((kb_c, tb, checks.l_blk, LANES), jnp.int8),
         ),
         scratch_shapes=[scratch(r_a), scratch(r_a)],
         interpret=interpret,
@@ -755,8 +789,9 @@ def _build(
         cap1 = max_iterations + (0 if adaptive else 1)
 
         # Initial decisions (channel LLR signs, reference :685-688) feed the
-        # adaptive pair's converge-at-iteration-1 path.
-        dec_init = (llr_planes <= 0).astype(jnp.int32)
+        # adaptive pair's converge-at-iteration-1 path. int8 to match the
+        # kernel's narrow decision planes (the while-loop carry dtype).
+        dec_init = (llr_planes <= 0).astype(jnp.int8)
         valid_b = (deg_b > 0).astype(jnp.int32)[:, None, :, :]
         diff0 = (dec_init != alice_planes).astype(jnp.int32) * valid_b
         km_init = (
@@ -881,8 +916,8 @@ def make_pallas_stream_trial(
     def _impl(alice, bob, qb, prim, sec, thr):
         b = alice.shape[0]
         pad = (-b) % tb
-        alice = jnp.pad(alice.astype(jnp.int32), ((0, pad), (0, 0)))
-        bob = jnp.pad(bob.astype(jnp.int32), ((0, pad), (0, 0)))
+        alice = jnp.pad(alice.astype(jnp.int8), ((0, pad), (0, 0)))
+        bob = jnp.pad(bob.astype(jnp.int8), ((0, pad), (0, 0)))
         log_p = jnp.log((1.0 - qb[0, 0]) / qb[0, 0]).astype(dtype)
         groups = (b + pad) // tb
 
@@ -956,14 +991,14 @@ def make_pallas_stream_decoder(
         pad = (-b) % tb
         llr = jnp.pad(llr_ext.astype(fdtype), ((0, pad), (0, 0)),
                       constant_values=1.0)
-        syn = jnp.pad(syndrome_ext.astype(jnp.int32), ((0, pad), (0, 0)))
+        syn = jnp.pad(syndrome_ext.astype(jnp.int8), ((0, pad), (0, 0)))
         groups = (b + pad) // tb
 
         def run_group(args):
             llr_g, syn_g = args
             llr_p = to_planes(llr_g, plan.bits, 1.0)
             syn_p = to_planes(syn_g, plan.checks, 0)
-            dummy_alice = jnp.zeros_like(llr_p, jnp.int32)
+            dummy_alice = jnp.zeros_like(llr_p, jnp.int8)
             conv, _, iters, dec_p = step(
                 llr_p, dummy_alice, syn_p, prim, sec, thr
             )
