@@ -109,6 +109,10 @@ TPU extensions (optional "tpu" object; defaults keep reference semantics):
                                 FER (fused QC kernel, NMSA/OMSA only;
                                 otherwise warns and floods). "flooding"
                                 is the reference's schedule.
+  tpu.force_engine              qc | qc_stream | generic | stream | xla.
+                                Pins one decoder engine for A/B
+                                measurement (errors if it cannot serve
+                                the matrix); absent = feasibility-gated.
 
 Results: one CSV per config in the results directory, semicolon-separated
 with comma decimal marks; filename encodes trials, algorithm, iteration cap,

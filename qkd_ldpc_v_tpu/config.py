@@ -233,6 +233,11 @@ class Config:
     # at the N=102400 working point it is break-even-to-slower (re-decode
     # restarts from scratch; BASELINE.md) — prefer 0 there.
     phase1_iterations: int = -1
+    # Engine override for A/B measurement: "" (default) keeps the
+    # feasibility-gated cascade (simulation.pallas_engine: qc -> qc_stream
+    # -> generic -> stream -> xla); naming an engine forces it, and raises
+    # if that engine cannot serve the matrix (no silent fallback).
+    force_engine: str = ""
 
 
 def _range_values(begin: float, end: float, step: float) -> Tuple[float, ...]:
@@ -573,6 +578,13 @@ def parse_config_data(config_path) -> Config:
     schedule = str(tpu.get("schedule", "flooding"))
     if schedule not in ("flooding", "layered"):
         raise ConfigError("tpu.schedule must be flooding|layered")
+    force_engine = str(tpu.get("force_engine", ""))
+    if force_engine not in ("", "qc", "qc_stream", "generic", "stream",
+                            "xla"):
+        raise ConfigError(
+            "tpu.force_engine must be one of "
+            "qc|qc_stream|generic|stream|xla (or absent)"
+        )
 
     return Config(
         threads_number=threads_number,
@@ -603,6 +615,7 @@ def parse_config_data(config_path) -> Config:
         use_pallas=use_pallas,
         phase1_iterations=phase1_iterations,
         schedule=schedule,
+        force_engine=force_engine,
     )
 
 

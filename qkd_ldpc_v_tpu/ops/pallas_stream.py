@@ -107,7 +107,12 @@ def _stack(plans, attr):
     step, so at f32/bf16x2 message width they were ~a third of the
     iteration's HBM bytes at int32 — see BASELINE.md round-4)."""
     arr = np.stack([getattr(p, attr) for p in plans])
-    assert arr.min() >= 0 and arr.max() < 128, attr
+    if arr.min() < 0:
+        raise ValueError(f"negative permute index in {attr}")
+    if arr.max() >= 128:
+        # A Clos stage wider than 128 tiles would wrap in int8; keep the
+        # table wide (lossless, just more HBM traffic) instead of failing.
+        return jnp.asarray(arr.astype(np.int32))
     return jnp.asarray(arr.astype(np.int8))
 
 
@@ -648,6 +653,22 @@ def _build(
     def scratch(rows):
         return pltpu.VMEM((tp, rows, LANES), dtype)
 
+    # Per-call VMEM working-set bytes for the computed vmem_limit_bytes
+    # request (one grid step's blocks; Mosaic double-buffers in/out).
+    def _tab_bytes(*tab_tuples):
+        # Per-grid-step block = one row of each int8 table ((1,) + shape[1:]).
+        return sum(
+            int(np.prod(t.shape[1:])) * t.dtype.itemsize
+            for tabs in tab_tuples for t in tabs
+        )
+
+    _staged_blk = tp * LANES * 4  # f32 staged words per chunk row
+    _plane_b_f32 = tb * bits.l_blk * LANES * 4   # llr planes
+    _plane_b_i8 = tb * bits.l_blk * LANES        # alice / decision planes
+    _plane_c_i8 = tb * checks.l_blk * LANES      # syndrome planes
+    _deg_b = bits.l_blk * LANES * 4
+    _deg_c = checks.l_blk * LANES * 4
+
     call_a = pl.pallas_call(
         kernel_a,
         grid=(kb_c,),
@@ -671,7 +692,13 @@ def _build(
         ),
         scratch_shapes=[scratch(r_a), scratch(r_a)],
         interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_vmem_params(
+            _tab_bytes(cm_p2_t, bm_p1_t)
+            + kb_b * ch_cm * _staged_blk * (2 if spa else 1)
+            + _plane_c_i8 + _deg_c,
+            kb_b * ch_bm * _staged_blk + tb * 4,
+            2 * tp * r_a * LANES * 4,
+        ),
     )
 
     b_in = (
@@ -706,7 +733,14 @@ def _build(
         out_shape=tuple(b_out_shape),
         scratch_shapes=[scratch(r_b), scratch(r_b)],
         interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_vmem_params(
+            _tab_bytes(bm_p2_t, cm_p1_t)
+            + kb_c * ch_bm * _staged_blk
+            + _plane_b_f32 + _deg_b + _plane_b_i8,
+            kb_c * ch_cm * _staged_blk * (2 if spa else 1) + tb * 4
+            + (_plane_b_i8 if mode == "decode" else 0),
+            2 * tp * r_b * LANES * 4,
+        ),
     )
 
     i_out_specs = [staged_out_spec(kb_b, kb_c, ch_cm)]
@@ -733,7 +767,12 @@ def _build(
         out_shape=tuple(i_out_shape),
         scratch_shapes=[scratch(plan.to_cm.r1), scratch(plan.to_cm.r1)],
         interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_vmem_params(
+            _tab_bytes(cm_p1_t) + _plane_b_f32 + _deg_b + _plane_b_i8,
+            kb_c * ch_cm * _staged_blk
+            * (1 + int(spa) + int(mode == "trial")),
+            2 * tp * plan.to_cm.r1 * LANES * 4,
+        ),
     )
 
     call_s = pl.pallas_call(
@@ -748,7 +787,11 @@ def _build(
         ),
         scratch_shapes=[scratch(r_a), scratch(r_a)],
         interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_vmem_params(
+            _tab_bytes(cm_p2_t) + kb_b * ch_cm * _staged_blk,
+            _plane_c_i8,
+            2 * tp * r_a * LANES * 4,
+        ),
     )
 
     # constant operand values

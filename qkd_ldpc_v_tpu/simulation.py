@@ -311,6 +311,7 @@ def _build_step(
     select_size: int = 0,
     use_pallas: bool = False,
     schedule: str = "flooding",
+    force_engine: str = "",
 ) -> Callable:
     """One device program for one batch of Monte-Carlo trials.
 
@@ -335,15 +336,21 @@ def _build_step(
     dtype = jnp.dtype(dtype)
     n_bits = matrix.num_bit_nodes
     bit_order = jnp.asarray(layout.bit_order)
+    pallas_ok = use_pallas and dtype == jnp.float32
+
+    def _want(name):
+        # force_engine pins one engine (A/B measurement); the feasibility
+        # predicate below still decides whether it can serve the matrix.
+        return pallas_ok and (force_engine in ("", name))
+
     qc_tile = 0
-    if use_pallas and matrix.qc is not None and dtype == jnp.float32:
+    if _want("qc") and matrix.qc is not None:
         from qkd_ldpc_v_tpu.ops.pallas_qc import feasible_batch_tile
 
         qc_tile = feasible_batch_tile(matrix.qc)
     qc_active = qc_tile > 0
     qc_stream_active = False
-    if use_pallas and not qc_active and matrix.qc is not None \
-            and dtype == jnp.float32:
+    if _want("qc_stream") and not qc_active and matrix.qc is not None:
         # QC codes too large for the fused kernel's VMEM (the 100k QC
         # suite) keep their circulant structure through the streamed QC
         # engine: totals resident in VMEM, extrinsics in HBM.
@@ -351,8 +358,7 @@ def _build_step(
 
         qc_stream_active = qc_stream_feasible(matrix.qc)
     generic_active = False
-    if use_pallas and not qc_active and not qc_stream_active \
-            and dtype == jnp.float32:
+    if _want("generic") and not qc_active and not qc_stream_active:
         # Arbitrary (alist/PEG/dense) codes — and QC codes too large for the
         # QC kernel's VMEM budget — go through the fused generic kernel when
         # their edge space fits.
@@ -360,13 +366,20 @@ def _build_step(
 
         generic_active = generic_plan_feasible(matrix)
     stream_active = False
-    if use_pallas and not qc_active and not qc_stream_active \
-            and not generic_active and dtype == jnp.float32:
+    if _want("stream") and not qc_active and not qc_stream_active \
+            and not generic_active:
         # Giant frames (e.g. the reference's N=102400 suite) whose edge
         # state exceeds VMEM stream HBM-resident blocks instead.
         from qkd_ldpc_v_tpu.ops.pallas_stream import stream_feasible
 
         stream_active = stream_feasible(matrix)
+    if force_engine and force_engine != "xla" and not (
+        qc_active or qc_stream_active or generic_active or stream_active
+    ):
+        raise ValueError(
+            f"tpu.force_engine = {force_engine!r} cannot serve this matrix "
+            f"(infeasible, or use_pallas/dtype gate it out)"
+        )
     pallas_active = (qc_active or qc_stream_active or generic_active
                      or stream_active)
     if schedule == "layered" and not (
@@ -621,6 +634,7 @@ def get_step(
         select_size,
         cfg.use_pallas,
         cfg.schedule,
+        cfg.force_engine,
     )
     fn = _STEP_CACHE.get(matrix, extra=key)
     if fn is not None:
@@ -637,6 +651,7 @@ def get_step(
             select_size=select_size,
             use_pallas=cfg.use_pallas,
             schedule=cfg.schedule,
+            force_engine=cfg.force_engine,
         )
     )
     _STEP_CACHE.put(matrix, fn, extra=key)
@@ -650,23 +665,28 @@ def pallas_engine(matrix: HMatrix, cfg: Config) -> str:
     predicates)."""
     if not cfg.use_pallas or jnp.dtype(cfg.dtype) != jnp.float32:
         return "xla"
+    force = cfg.force_engine
     if matrix.qc is not None:
         from qkd_ldpc_v_tpu.ops.pallas_qc import feasible_batch_tile
 
-        if feasible_batch_tile(matrix.qc) > 0:
+        if force in ("", "qc") and feasible_batch_tile(matrix.qc) > 0:
             return "qc"
         from qkd_ldpc_v_tpu.ops.pallas_qc_stream import qc_stream_feasible
 
-        if qc_stream_feasible(matrix.qc):
+        if force in ("", "qc_stream") and qc_stream_feasible(matrix.qc):
             return "qc_stream"
     from qkd_ldpc_v_tpu.ops.pallas_generic import generic_plan_feasible
 
-    if generic_plan_feasible(matrix):
+    if force in ("", "generic") and generic_plan_feasible(matrix):
         return "generic"
     from qkd_ldpc_v_tpu.ops.pallas_stream import stream_feasible
 
-    if stream_feasible(matrix):
+    if force in ("", "stream") and stream_feasible(matrix):
         return "stream"
+    if force and force != "xla":
+        raise ValueError(
+            f"tpu.force_engine = {force!r} cannot serve this matrix"
+        )
     return "xla"
 
 

@@ -197,6 +197,16 @@ def test_tpu_extension_block(tmp_path):
     c = parse_config_data(write_cfg(tmp_path, cfg))
     assert c.batch_size == 256
     assert c.dtype == "float64"
+    assert c.force_engine == ""
+
+
+def test_tpu_force_engine_validated(tmp_path):
+    cfg = minimal_config(tpu={"force_engine": "qc_stream"})
+    c = parse_config_data(write_cfg(tmp_path, cfg))
+    assert c.force_engine == "qc_stream"
+    bad = minimal_config(tpu={"force_engine": "cuda"})
+    with pytest.raises(ConfigError, match="force_engine"):
+        parse_config_data(write_cfg(tmp_path, bad))
 
 
 @pytest.mark.skipif(not reference_available(), reason="reference assets absent")

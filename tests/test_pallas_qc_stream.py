@@ -367,6 +367,46 @@ def test_driver_end_to_end_matches_fused(qc, monkeypatch):
     assert got.ratio_trials_success_ldpc == ref.ratio_trials_success_ldpc
     assert got.iter_success_mean == ref.iter_success_mean
     assert got.iter_success_max == ref.iter_success_max
+
+
+def test_force_engine_pins_and_validates(qc):
+    """tpu.force_engine pins one engine for A/B measurement; an infeasible
+    force raises instead of silently falling back. The forced qc_stream
+    driver run reproduces the fused engine's sweep statistics exactly."""
+    from qkd_ldpc_v_tpu import simulation as sim
+    from qkd_ldpc_v_tpu.config import Config
+    from qkd_ldpc_v_tpu.rate_adapt import HMatrixParams
+
+    matrix = qc.to_hmatrix()
+
+    def cfg_with(force):
+        return Config(
+            trials_number=16,
+            simulation_seed=5,
+            decoding_algorithm=DecodingAlgorithm.NMSA,
+            decoding_alg_max_iterations=50,
+            batch_size=16,
+            use_pallas=True,
+            force_engine=force,
+        )
+
+    assert sim.pallas_engine(matrix, cfg_with("")) == "qc"
+    assert sim.pallas_engine(matrix, cfg_with("qc_stream")) == "qc_stream"
+    assert sim.pallas_engine(matrix, cfg_with("generic")) == "generic"
+    assert sim.pallas_engine(matrix, cfg_with("xla")) == "xla"
+    # This fixture's edge space is far too small for the streaming engine.
+    with pytest.raises(ValueError, match="force_engine"):
+        sim.pallas_engine(matrix, cfg_with("stream"))
+
+    comb = sim.SimCombination(
+        0.02, HMatrixParams(), sim.ScalingFactors(primary=0.8)
+    )
+    ref = sim.run_combination(matrix, comb, cfg_with(""), sim_number=0)
+    got = sim.run_combination(
+        matrix, comb, cfg_with("qc_stream"), sim_number=0
+    )
+    assert got.ratio_trials_success_ldpc == ref.ratio_trials_success_ldpc
+    assert got.iter_success_mean == ref.iter_success_mean
     assert got.iter_success_min == ref.iter_success_min
 
 
