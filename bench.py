@@ -31,7 +31,17 @@ dispatches after one warmup, and the JSON carries the min/max spread —
 single sub-second dispatches through the tunnel proved unreliable
 (BENCH_r03 vs BASELINE.md, VERDICT r03).
 
-Env knobs: BENCH_REPS (default 5), BENCH_BATCH (default 196608),
+Round-5 robustness contract (VERDICT r04 item 3): every leg runs inside
+its own try/except — a compile failure or crash omits that leg's fields
+instead of killing the record — and a global deadline (BENCH_DEADLINE
+seconds, default 3000) skips remaining legs once exceeded so the record
+always completes with rc=0 inside the driver's budget. The slow 100k legs
+default to 3 reps (BENCH_REPS_SLOW); the persistent XLA compilation cache
+(utils.enable_compilation_cache) makes warmups cheap when the kernels are
+unchanged since the last on-hardware run.
+
+Env knobs: BENCH_REPS (default 5), BENCH_REPS_SLOW (default 3, the 100k
+legs), BENCH_DEADLINE (default 3000 s), BENCH_BATCH (default 196608),
 BENCH_STEPS (default 1),
 BENCH_ALIST=0 to skip the alist measurement (slow first compile),
 BENCH_ALIST_BATCH (default 8192), BENCH_100K=0 to skip the 100k
@@ -102,7 +112,37 @@ QC_ALPHA = 0.65  # tuned for the headline QC-PEG code (FER ~0 at QBER 0.03)
 ALIST_ALPHA = 0.70
 
 
-def _measure(matrix, alpha, cfg_extra, batch, steps, label):
+_T0 = time.perf_counter()
+
+
+def _deadline_exceeded(label: str) -> bool:
+    """True (and logs) once the global budget is spent — remaining legs are
+    skipped so the record always completes inside the driver's timeout."""
+    limit = float(os.environ.get("BENCH_DEADLINE", "3000"))
+    spent = time.perf_counter() - _T0
+    if spent > limit:
+        print(
+            f"bench[{label}]: skipped — deadline exceeded "
+            f"({spent:.0f}s > {limit:.0f}s)",
+            file=sys.stderr,
+        )
+        return True
+    return False
+
+
+def _leg(label: str, fn) -> dict:
+    """Run one bench leg; a crash omits its fields instead of killing the
+    whole record (VERDICT r04 item 3)."""
+    if _deadline_exceeded(label):
+        return {}
+    try:
+        return fn()
+    except Exception as e:  # noqa: BLE001
+        print(f"bench[{label}] failed: {e!r}", file=sys.stderr)
+        return {}
+
+
+def _measure(matrix, alpha, cfg_extra, batch, steps, label, reps=None):
     """Warm up once, then time BENCH_REPS (default 5) identical dispatches.
 
     Round-3 lesson (VERDICT r03 §weak-1): a single sub-second dispatch
@@ -121,7 +161,9 @@ def _measure(matrix, alpha, cfg_extra, batch, steps, label):
         run_combination,
     )
 
-    reps = max(1, int(os.environ.get("BENCH_REPS", "5")))
+    if reps is None:
+        reps = int(os.environ.get("BENCH_REPS", "5"))
+    reps = max(1, reps)
 
     def cfg_for(trials):
         return Config(
@@ -179,118 +221,142 @@ def main() -> int:
 
     dev = jax.devices()[0]
     print(f"bench: device={dev.platform}:{dev.device_kind}", file=sys.stderr)
+    reps_slow = int(os.environ.get("BENCH_REPS_SLOW", "3"))
 
     # Headline: QC-PEG code through the fused Pallas kernel.
     qc_matrix = generate_qc_peg(
         base_bits=20, base_checks=6, lifting=512, column_weight=4, seed=9
     ).to_hmatrix()
-    head = _measure(
-        qc_matrix, QC_ALPHA, {"use_pallas": True, "schedule": schedule},
-        batch, steps, "qc-pallas",
-    )
-    flood_fields = {}
-    if schedule == "layered" and os.environ.get("BENCH_FLOODING", "1") != "0":
+
+    def leg_headline():
+        head = _measure(
+            qc_matrix, QC_ALPHA, {"use_pallas": True, "schedule": schedule},
+            batch, steps, "qc-pallas",
+        )
+        return {
+            "value": round(head.median, 1),
+            "vs_baseline": round(head.median / TARGET_FRAMES_PER_S, 4),
+            "value_fps_min": round(head.min, 1),
+            "value_fps_max": round(head.max, 1),
+            "bench_reps": head.reps,
+        }
+
+    head_fields = _leg("qc-pallas", leg_headline)
+
+    def leg_flooding():
         flood = _measure(
             qc_matrix, QC_ALPHA, {"use_pallas": True}, batch, steps,
             "qc-flooding",
         )
-        flood_fields = {
+        return {
             "qc_flooding_frames_per_s": round(flood.median, 1),
             "qc_flooding_fps_min": round(flood.min, 1),
             "qc_flooding_fps_max": round(flood.max, 1),
         }
 
+    flood_fields = {}
+    if schedule == "layered" and os.environ.get("BENCH_FLOODING", "1") != "0":
+        flood_fields = _leg("qc-flooding", leg_flooding)
+
     # The reference's own matrix (alist PEG): always measured so the round
     # record tracks the weakest, most comparable number too. Falls back to
     # the committed 10k alist asset when the reference mount is absent, as
     # the 100k legs already do.
-    alist_fields = {}
     matrix_10k = (
         REFERENCE_MATRIX if REFERENCE_MATRIX.exists() else LOCAL_MATRIX_10K
     )
-    if os.environ.get("BENCH_ALIST", "1") != "0" and matrix_10k.exists():
+
+    def leg_alist():
         alist_batch = int(os.environ.get("BENCH_ALIST_BATCH", "8192"))
         alist = read_sparse_matrix_alist(matrix_10k)
         asample = _measure(
             alist, ALIST_ALPHA, {"use_pallas": True}, alist_batch, steps,
             "alist",
         )
-        alist_fields = {
+        return {
             **asample.fields("alist"),
             "alist_vs_baseline": round(asample.median / TARGET_FRAMES_PER_S, 4),
             "alist_matrix": matrix_10k.name,
         }
 
+    alist_fields = {}
+    if os.environ.get("BENCH_ALIST", "1") != "0" and matrix_10k.exists():
+        alist_fields = _leg("alist", leg_alist)
+
     # The reference's largest production frames (N=102400) through the
     # streaming HBM-resident kernel (alist — the reference's own format;
     # falls back to the committed 100k asset without the mount).
-    stream_fields = {}
     matrix_100k = (
         REFERENCE_MATRIX_100K if REFERENCE_MATRIX_100K.exists()
         else LOCAL_MATRIX_100K
     )
-    if os.environ.get("BENCH_100K", "1") != "0" and matrix_100k.exists():
+
+    def leg_stream100k():
         trials_100k = int(os.environ.get("BENCH_100K_TRIALS", "1024"))
         big = read_sparse_matrix_alist(matrix_100k)
         ssample = _measure(
             big, 0.8, {"use_pallas": True}, 64,
-            max(1, trials_100k // 64), "stream-100k",
+            max(1, trials_100k // 64), "stream-100k", reps=reps_slow,
         )
-        stream_fields = ssample.fields("stream100k")
+        return ssample.fields("stream100k")
 
-    # N=102400 through the fused QC kernel (ops/pallas_qc.py): the round-4
-    # VMEM discovery (scripts/probe_vmem.py) fits the whole message state
-    # in VMEM — zero HBM traffic mid-decode — on the committed Z=2048 CW=3
-    # flagship code; layered schedule (BENCH_QC100K_SCHEDULE=flooding for
-    # the parity-semantics number).
-    qc100k_fields = {}
-    if os.environ.get("BENCH_QC100K", "1") != "0" and QC_MATRIX_100K.exists():
+    stream_fields = {}
+    if os.environ.get("BENCH_100K", "1") != "0" and matrix_100k.exists():
+        stream_fields = _leg("stream-100k", leg_stream100k)
+
+    # N=102400 on the committed Z=2048 CW=3 flagship through the driver's
+    # schedule-aware engine routing (BASELINE.md §fused-100k, round 5):
+    # layered -> streamed QC engine (~18.1k f/s at batch 4096), flooding
+    # -> fused kernel (~18.4k). BENCH_QC100K_SCHEDULE=flooding for the
+    # parity-semantics number.
+    def leg_qc100k():
         from qkd_ldpc_v_tpu.models.hmatrix import read_matrix
-        from qkd_ldpc_v_tpu.config import MatrixFormat
-
-        # Measured operating point (BASELINE.md round-4 fused-100k table).
-        qc100k_trials = int(os.environ.get("BENCH_QC100K_TRIALS", "8192"))
-        qc100k_batch = int(os.environ.get("BENCH_QC100K_BATCH", "2048"))
-        qc100k_sched = os.environ.get("BENCH_QC100K_SCHEDULE", "layered")
+        from qkd_ldpc_v_tpu.config import Config as _Cfg, MatrixFormat
         from qkd_ldpc_v_tpu.simulation import pallas_engine
-        from qkd_ldpc_v_tpu.config import Config as _Cfg
 
+        qc100k_trials = int(os.environ.get("BENCH_QC100K_TRIALS", "8192"))
+        qc100k_batch = int(os.environ.get("BENCH_QC100K_BATCH", "4096"))
+        qc100k_sched = os.environ.get("BENCH_QC100K_SCHEDULE", "layered")
         big_qc = read_matrix(QC_MATRIX_100K, MatrixFormat.QC)
-        engine = pallas_engine(big_qc, _Cfg(use_pallas=True))
-        assert engine == "qc", engine  # the leg exists to measure it
-        # First hardware contact for a new kernel goes through the tunnel's
-        # remote compiler; a compile failure must not take down the whole
-        # bench record — fall back layered -> flooding -> omit.
+        # A schedule-specific compile failure must not take down the leg —
+        # fall back layered -> flooding -> omit.
         for sched in dict.fromkeys((qc100k_sched, "flooding")):
+            engine = pallas_engine(
+                big_qc, _Cfg(use_pallas=True, schedule=sched)
+            )
             try:
                 qsample = _measure(
                     big_qc, 0.8, {"use_pallas": True, "schedule": sched},
                     qc100k_batch, max(1, qc100k_trials // qc100k_batch),
-                    f"qc-100k-{sched}",
+                    f"qc-100k-{sched}-{engine}", reps=reps_slow,
                 )
             except Exception as e:  # noqa: BLE001
                 print(f"bench[qc-100k-{sched}] failed: {e!r}",
                       file=sys.stderr)
                 continue
-            qc100k_fields = {
+            return {
                 **qsample.fields("qc100k"),
                 "qc100k_schedule": sched,
+                "qc100k_engine": engine,
                 "qc100k_batch": qc100k_batch,
             }
-            break
+        return {}
+
+    qc100k_fields = {}
+    if os.environ.get("BENCH_QC100K", "1") != "0" and QC_MATRIX_100K.exists():
+        qc100k_fields = _leg("qc-100k", leg_qc100k)
 
     print(json.dumps({
         "metric": "decoded_10k_frames_per_s_qber0.03",
-        "value": round(head.median, 1),
+        "value": head_fields.pop("value", None),
         "unit": "frames/s",
-        "vs_baseline": round(head.median / TARGET_FRAMES_PER_S, 4),
-        "value_fps_min": round(head.min, 1),
-        "value_fps_max": round(head.max, 1),
-        "bench_reps": head.reps,
+        "vs_baseline": head_fields.pop("vs_baseline", None),
+        **head_fields,
         **flood_fields,
         **alist_fields,
         **stream_fields,
         **qc100k_fields,
+        "bench_seconds": round(time.perf_counter() - _T0, 1),
     }))
     return 0
 

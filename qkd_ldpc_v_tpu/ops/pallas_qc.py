@@ -64,11 +64,16 @@ from qkd_ldpc_v_tpu.ops.linapprox import (
 # scoped limit: 120 MiB of VMEM scratch compiles and runs on the target
 # chip (scripts/probe_vmem.py, round 4). The fused kernel therefore
 # serves every reference frame size — including the N=102400 QC flagship
-# (~27 MB live set at TB=8) — with zero HBM traffic mid-decode. The
-# budget models only the declared scratch planes; the explicit
-# vmem_limit_bytes request below carries the margin for compiler stack
-# temporaries.
-_VMEM_BUDGET = 100 * 1024 * 1024
+# — with zero HBM traffic mid-decode. The budget models only the
+# declared scratch planes; Mosaic stack temporaries scale with the plane
+# set and must fit inside the gap to the 120 MiB ceiling. Round-5
+# hardware measurements pin the workable declared-plane budget: the
+# Z=2048 CW=3 flagship's 83.5 MiB set compiles and runs (16.4k f/s mc
+# mode), while the Z=1024 CW=4 asset's 91.4 MiB set dies in Mosaic VMEM
+# allocation at the same 120 MiB request — so the gate holds declared
+# planes at <= 84 MiB and drops to the next tile instead (BASELINE.md
+# §fused-100k, round 5).
+_VMEM_BUDGET = 84 * 1024 * 1024
 _VMEM_LIMIT_CAP = 120 * 1024 * 1024
 # Compile-size guard (mirrors pallas_qc_stream._MAX_BLOCK_EDGES): the
 # sweep body unrolls one check update per block edge; beyond this the

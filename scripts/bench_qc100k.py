@@ -45,6 +45,9 @@ def main() -> int:
     ap.add_argument("--engine", default="any",
                     help="assert the driver picks this engine "
                          "(qc | qc_stream | any)")
+    ap.add_argument("--force-engine", default="",
+                    help="pin the engine via tpu.force_engine "
+                         "(qc | qc_stream | generic | stream | xla)")
     args = ap.parse_args()
 
     from qkd_ldpc_v_tpu.utils import enable_compilation_cache
@@ -80,6 +83,7 @@ def main() -> int:
                 batch_size=batch,
                 use_pallas=True,
                 schedule=schedule,
+                force_engine=args.force_engine,
             )
             engine = pallas_engine(matrix, cfg)
             if args.engine != "any":
