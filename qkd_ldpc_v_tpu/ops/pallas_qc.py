@@ -81,25 +81,47 @@ _VMEM_LIMIT_CAP = 120 * 1024 * 1024
 _MAX_BLOCK_EDGES = 420
 
 
-def _vmem_limit_bytes(scratch_shapes) -> int:
-    """vmem_limit_bytes request: declared scratch + 48 MiB margin for
-    double-buffered operand block staging ([TB, N] key/LLR blocks in the
-    trial/decode modes) and compiler stack temporaries, clamped to the
-    measured workable ceiling."""
+def _vmem_limit_bytes(scratch_shapes, io_block_bytes: int = 0) -> int:
+    """vmem_limit_bytes request: declared scratch + double-buffered
+    operand/output block staging (the [TB, N] key/LLR blocks of the
+    trial/frame/decode modes — at N=102400 tile 16 these alone are
+    ~26 MiB and round 5 measured the flagship trial kernel running 684 KB
+    past a flat 48 MiB margin) + 48 MiB for compiler stack temporaries,
+    clamped to the measured workable ceiling."""
     scratch = sum(
         int(np.prod(s.shape)) * jnp.dtype(s.dtype).itemsize
         for s in scratch_shapes
     )
-    return int(min(max(scratch + 48 * 1024 * 1024, 32 * 1024 * 1024),
+    margin = 2 * io_block_bytes + 48 * 1024 * 1024
+    return int(min(max(scratch + margin, 32 * 1024 * 1024),
                    _VMEM_LIMIT_CAP))
 
 
-def feasible_batch_tile(qc: QCMatrix, mode: str = "mc") -> int:
-    """Largest workable batch tile for the fused QC kernel, or 0 when the
-    code cannot fit VMEM at any tile (the driver then falls back to the
-    streamed-QC / generic paths). Scratch: messages (num_be planes) +
-    decisions/frozen/LLR/syndrome planes, plus the MC mode's key and
-    sort-key planes."""
+# Round-5 tile-sweep measurements (TPU v5e, probe_qc_tiles, BASELINE.md
+# §tile-sweep): the two schedules want opposite tile regimes.
+#
+#   * layered: the serial block-row sweep is latency/VMEM-pressure bound —
+#     throughput peaks with the whole plane set near or under ~8 MiB
+#     (1k Z=128: tile 192 best, 2.62M f/s; 10k Z=512: tile 16, 367k;
+#     100k Z=2048: tile 8, 28.1k — 3.4x the tile-24 rate) and collapses
+#     as the live set approaches the VMEM ceiling.
+#   * flooding: independent row work amortizes fixed costs — the optimum
+#     tile shrinks as per-tile plane bytes grow (1k: 192 -> 2.27M;
+#     10k: 48 -> 195k; Z=2048: 24 -> 16.4-18.4k; Z=1024 CW=4: 16 ->
+#     14.2k; one step larger or smaller measures 2-10% worse).
+_TILES = (192, 96, 48, 24, 16, 8)
+_LAYERED_LIVE_TARGET = 8 * 1024 * 1024
+
+
+def feasible_batch_tile(
+    qc: QCMatrix, mode: str = "mc", schedule: str = "flooding"
+) -> int:
+    """Measured-best workable batch tile for the fused QC kernel, or 0
+    when the code cannot fit VMEM at any tile (the driver then falls back
+    to the streamed-QC / generic paths). Scratch: messages (num_be
+    planes) + decisions/frozen/LLR/syndrome planes, plus the MC mode's
+    key and sort-key planes. The choice is schedule-aware (see the tile
+    ladder above)."""
     if qc.lifting % 128:
         return 0
     num_be = int((qc.shifts >= 0).sum())
@@ -107,8 +129,29 @@ def feasible_batch_tile(qc: QCMatrix, mode: str = "mc") -> int:
         return 0
     nb, mb = qc.base_bits, qc.base_checks
     planes = num_be + 3 * nb + mb + (2 * nb if mode == "mc" else 0)
-    for tile in (24, 16, 8):
-        if planes * tile * qc.lifting * 4 <= _VMEM_BUDGET:
+    pbpt = planes * qc.lifting * 4  # plane bytes per tile frame
+    if schedule == "layered":
+        for tile in _TILES:
+            if pbpt * tile <= _LAYERED_LIVE_TARGET:
+                return tile
+        # Floor: no tile keeps the live set small, so take the smallest
+        # (Z=2048 flagship: tile 8 = 28.1k f/s vs tile 16 = 25.8k).
+        for tile in (8, 16):
+            if pbpt * tile <= _VMEM_BUDGET:
+                return tile
+        return 0
+    if pbpt <= 64 * 1024:
+        want = 192
+    elif pbpt <= 128 * 1024:
+        want = 96
+    elif pbpt <= 1024 * 1024:
+        want = 48
+    elif pbpt <= 3584 * 1024:
+        want = 24
+    else:
+        want = 16
+    for tile in _TILES:
+        if tile <= want and pbpt * tile <= _VMEM_BUDGET:
             return tile
     return 0
 
@@ -573,6 +616,12 @@ def _build(
                 pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             )
+        if mode in ("frame", "trial"):
+            io_bytes = 2 * tb * n * 4
+        elif mode == "decode":
+            io_bytes = tb * n * 4 + tb * m * 4 + tb * n
+        else:  # mc: scalars in, [TB, 1] stats out
+            io_bytes = 0
         return pl.pallas_call(
             kernel,
             grid=(num_tiles,),
@@ -582,7 +631,7 @@ def _build(
             scratch_shapes=scratch_shapes,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_vmem_limit_bytes(scratch_shapes),
+                vmem_limit_bytes=_vmem_limit_bytes(scratch_shapes, io_bytes),
             ),
         )(*operands)
 

@@ -100,20 +100,19 @@ def _vmem_params(in_specs_bytes, out_bytes, scratch_bytes):
 
 
 def _stack(plans, attr):
-    """Stack one per-block permute table over blocks, narrowed to int8 for
-    HBM residency: every lane-gather index is < 128 and every bsel tile id
-    is < n_tiles <= 127, so the narrow store is lossless; kernels widen to
-    int32 once per block (the tables are re-streamed from HBM every grid
-    step, so at f32/bf16x2 message width they were ~a third of the
-    iteration's HBM bytes at int32 — see BASELINE.md round-4)."""
+    """Stack one per-block permute table over blocks, as int32.
+
+    Round 4 tried narrowing these to int8 (every lane-gather index is
+    < 128) to cut the tables' share of per-grid-step HBM traffic; on real
+    hardware the int8 gather/select tables crash the TPU backend compiler
+    outright (remote-compile helper exit 1 at every probed block size,
+    round 5 — CPU interpret mode never sees it, exactly as ADVICE r04
+    warned), while the same kernels with int32 tables compile and run.
+    The tables stay int32."""
     arr = np.stack([getattr(p, attr) for p in plans])
     if arr.min() < 0:
         raise ValueError(f"negative permute index in {attr}")
-    if arr.max() >= 128:
-        # A Clos stage wider than 128 tiles would wrap in int8; keep the
-        # table wide (lossless, just more HBM traffic) instead of failing.
-        return jnp.asarray(arr.astype(np.int32))
-    return jnp.asarray(arr.astype(np.int8))
+    return jnp.asarray(arr.astype(np.int32))
 
 
 def _dir_tables(d):
@@ -253,8 +252,7 @@ def _build(
 
     def permute(tabs, a, b, r):
         """Seven-stage in-VMEM Clos pipeline on rows [0, r) of a/b (2-buffer
-        ping-pong; result lands in b, a is clobbered). Tables arrive int8
-        (HBM-narrow); gather indices widen once here."""
+        ping-pong; result lands in b, a is clobbered)."""
         idx_l1, idx_c, bsel, idx_a, idx_l2 = (
             tabs[0][0].astype(jnp.int32),
             tabs[1][0].astype(jnp.int32),

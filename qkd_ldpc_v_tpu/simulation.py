@@ -300,26 +300,17 @@ def make_frame_plan(num_bits: int, params: HMatrixParams) -> Tuple[np.ndarray, n
     return pos_class, payload_gather
 
 
-def _layered_prefers_stream(qc, algorithm, schedule: str) -> bool:
-    """Measured engine routing for big QC codes under the layered schedule
-    (round 5, TPU v5e, N=102400 at batch 2048-4096): the fused kernel's
-    layered sweep serializes block-rows through a long roll+accumulate
-    dependency chain and measures ~2x *slower* than the streamed QC engine
-    (8.3k vs 15.8-18.1k f/s on the Z=2048 flagship), while under flooding
-    the fused kernel is ~2x *faster* (16.4-18.4k vs 8.8k). At the 10k tier
-    the fused kernel dominates both schedules (337k layered). So: layered
-    + min-sum + N >= 64k + streamed-engine-feasible routes to qc_stream;
-    everything else keeps the fused-first cascade. BASELINE.md §fused-100k
-    has the table; tpu.force_engine overrides."""
-    if schedule != "layered":
-        return False
-    if algorithm in (DecodingAlgorithm.SPA, DecodingAlgorithm.SPA_APPROX):
-        return False  # layered falls back to flooding for the SPA pair
-    if qc.base_bits * qc.lifting < 65536:
-        return False
-    from qkd_ldpc_v_tpu.ops.pallas_qc_stream import qc_stream_feasible
-
-    return qc_stream_feasible(qc)
+def _effective_schedule(algorithm: DecodingAlgorithm, schedule: str) -> str:
+    """The schedule a QC engine will actually run: the layered (serial-C)
+    sweep serves the min-sum family only — the SPA pair always floods
+    (with a warning in _build_step). Feasibility/tile decisions key off
+    this so the fused kernel's schedule-aware tile matches the sweep it
+    will really execute."""
+    if schedule == "layered" and algorithm in (
+        DecodingAlgorithm.SPA, DecodingAlgorithm.SPA_APPROX
+    ):
+        return "flooding"
+    return schedule
 
 
 def _build_step(
@@ -369,11 +360,9 @@ def _build_step(
     if _want("qc") and matrix.qc is not None:
         from qkd_ldpc_v_tpu.ops.pallas_qc import feasible_batch_tile
 
-        qc_tile = feasible_batch_tile(matrix.qc)
-        if qc_tile > 0 and not force_engine and _layered_prefers_stream(
-            matrix.qc, algorithm, schedule
-        ):
-            qc_tile = 0
+        qc_tile = feasible_batch_tile(
+            matrix.qc, schedule=_effective_schedule(algorithm, schedule)
+        )
     qc_active = qc_tile > 0
     qc_stream_active = False
     if _want("qc_stream") and not qc_active and matrix.qc is not None:
@@ -695,12 +684,11 @@ def pallas_engine(matrix: HMatrix, cfg: Config) -> str:
     if matrix.qc is not None:
         from qkd_ldpc_v_tpu.ops.pallas_qc import feasible_batch_tile
 
-        if force in ("", "qc") and feasible_batch_tile(matrix.qc) > 0 \
-                and not (
-                    not force and _layered_prefers_stream(
-                        matrix.qc, cfg.decoding_algorithm, cfg.schedule
-                    )
-                ):
+        if force in ("", "qc") and feasible_batch_tile(
+            matrix.qc,
+            schedule=_effective_schedule(cfg.decoding_algorithm,
+                                         cfg.schedule),
+        ) > 0:
             return "qc"
         from qkd_ldpc_v_tpu.ops.pallas_qc_stream import qc_stream_feasible
 

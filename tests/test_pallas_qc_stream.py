@@ -312,15 +312,15 @@ def test_engine_selection_prefers_qc_stream():
 
 def test_committed_100k_assets_engine_routing():
     """Round-5 measured routing for the committed N=102400 QC assets
-    (BASELINE.md §fused-100k): under the reference's flooding schedule
-    both route to the fused kernel (measured 16.4-18.4k f/s on the Z=2048
-    flagship, ~2x the streamed engine); under the layered schedule both
-    route to the streamed QC engine (measured 15.8-18.1k f/s, ~2x the
-    fused kernel's serialized layered sweep). feasible_batch_tile honors
-    the measured 84 MiB declared-plane budget: tile 24 for the flagship's
-    415 planes (83.5 MiB), tile 16 for the Z=1024 CW=4 asset's 930 planes
-    (91.4 MiB at tile 24 OOMs Mosaic on hardware). tpu.force_engine
-    overrides the routing in both directions."""
+    (BASELINE.md §fused-100k / §tile-sweep): both route to the fused
+    kernel under both schedules, with a schedule-aware batch tile. The
+    layered sweep is VMEM-pressure bound — the flagship measured 28.1k
+    f/s at tile 8 vs 8.3k at tile 24 — so layered takes the small-tile
+    branch; flooding keeps the largest measured-best tile (24 for the
+    flagship's 415 planes = 83.5 MiB; the Z=1024 CW=4 asset's 930 planes
+    take 16, because 91.4 MiB at tile 24 OOMs Mosaic on hardware). The
+    streamed engine stays feasible as the next capacity tier and remains
+    reachable via tpu.force_engine."""
     from pathlib import Path
 
     from qkd_ldpc_v_tpu.config import Config, MatrixFormat
@@ -328,7 +328,7 @@ def test_committed_100k_assets_engine_routing():
     from qkd_ldpc_v_tpu.simulation import pallas_engine
 
     root = Path(__file__).resolve().parent.parent
-    for name, num_be, tile in (
+    for name, num_be, tile_flood in (
         ("(N=102400,M=30720,R=0.70,CW=3,Z=2048,SEED=56).mtrx", 150, 24),
         ("(N=102400,M=30720,R=0.70,CW=4,Z=1024,SEED=53).mtrx", 400, 16),
     ):
@@ -336,23 +336,17 @@ def test_committed_100k_assets_engine_routing():
             root / "sparse_matrices" / "matrices_qc" / name, MatrixFormat.QC
         )
         assert int((matrix.qc.shifts >= 0).sum()) == num_be
-        assert pk.feasible_batch_tile(matrix.qc) == tile
+        assert pk.feasible_batch_tile(matrix.qc) == tile_flood
+        assert pk.feasible_batch_tile(matrix.qc, schedule="layered") == 8
         assert qs.qc_stream_feasible(matrix.qc)
         assert pallas_engine(matrix, Config(use_pallas=True)) == "qc"
         assert pallas_engine(
             matrix, Config(use_pallas=True, schedule="layered",
                            decoding_algorithm=DecodingAlgorithm.NMSA)
+        ) == "qc"
+        assert pallas_engine(
+            matrix, Config(use_pallas=True, force_engine="qc_stream")
         ) == "qc_stream"
-        # SPA floods regardless of the schedule knob: fused stays best.
-        assert pallas_engine(
-            matrix, Config(use_pallas=True, schedule="layered",
-                           decoding_algorithm=DecodingAlgorithm.SPA)
-        ) == "qc"
-        assert pallas_engine(
-            matrix, Config(use_pallas=True, schedule="layered",
-                           decoding_algorithm=DecodingAlgorithm.NMSA,
-                           force_engine="qc")
-        ) == "qc"
 
 
 def test_driver_end_to_end_matches_fused(qc, monkeypatch):
