@@ -81,13 +81,18 @@ def _concat_groups(parts):
 
 
 def _sum_terms(init: jax.Array, terms: jax.Array, exact: bool) -> jax.Array:
-    """init [c,B] + sum of terms [c,d,B] over the degree axis.
+    """init [c,B] + sum of terms [c,d,B] over the degree axis, always in
+    the reference's sequential order (std::accumulate starting from the
+    channel LLR, src/qkd_ldpc_algorithm.cpp:78).
 
-    Exact mode reproduces the reference's sequential accumulation order
-    (std::accumulate starting from the channel LLR,
-    src/qkd_ldpc_algorithm.cpp:78)."""
-    if not exact:
-        return init + jnp.sum(terms, axis=1)
+    The f32 path used ``init + jnp.sum(terms)`` before round 5; XLA's
+    lowering of that reduce is backend-dependent (TPU reassociates it to
+    the sequential-from-init order under --xla_allow_excess_precision,
+    CPU does not), which made "bit-exact vs the XLA decoder" a
+    platform-dependent claim at ulp-sensitive frames. Explicit sequential
+    accumulation pins one association — the same one every Pallas engine
+    uses — on every backend. Degrees are <= ~6, so the unrolled adds cost
+    what the reduce did."""
     acc = init
     for s in range(terms.shape[1]):
         acc = acc + terms[:, s, :]

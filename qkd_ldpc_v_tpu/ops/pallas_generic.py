@@ -465,8 +465,12 @@ def _build(
         # [TB, 128] ops far slower than a handful of multi-vreg slab ops
         # (measured ~140 us/tile for the original per-row formulation).
         if mode in ("trial", "mc"):
-            qber = qber_ref[0, 0]
-            log_p = jnp.log((1.0 - qber) / qber)
+            # log((1-q)/q) arrives precomputed by the wrapper: Mosaic's
+            # in-kernel log can differ from XLA's by an ulp, handing
+            # engines different channel-LLR bits (round 5, PARITY.md
+            # §Z=2048) — same-bits LLRs keep every engine's trial path on
+            # the XLA decoder's exact trajectory.
+            log_p = qber_ref[0, 0]
 
         if mode == "mc":
             # Hardware-PRNG keys + exactly-num_errors error subset
@@ -1060,7 +1064,11 @@ def make_pallas_generic_trial(
         a_p = _plane_order(plan.bits, alice, 0)
         b_p = _plane_order(plan.bits, bob, 0)
         bp = b + pad
-        conv, keys, iters = call(bp // tb, bp, a_p, b_p, qb, prim, sec, thr)
+        # optimization_barrier pins the log's lowering context so every
+        # engine's jit program produces the same scalar bits.
+        log_p = jax.lax.optimization_barrier(jnp.log((1.0 - qb) / qb))
+        conv, keys, iters = call(bp // tb, bp, a_p, b_p, log_p, prim, sec,
+                                 thr)
         return (
             conv[:b, 0].astype(bool),
             keys[:b, 0].astype(bool),
@@ -1169,8 +1177,11 @@ def make_pallas_generic_montecarlo(
     padded = batch + pad
 
     def _impl(sd, ne, qb, prim, sec, thr):
+        # optimization_barrier pins the log's lowering context so every
+        # engine's jit program produces the same scalar bits.
+        log_p = jax.lax.optimization_barrier(jnp.log((1.0 - qb) / qb))
         conv, keys, iters = call(
-            padded // tb, padded, sd, ne, qb, prim, sec, thr
+            padded // tb, padded, sd, ne, log_p, prim, sec, thr
         )
         return (
             conv[:batch, 0].astype(bool),

@@ -271,8 +271,14 @@ def _build(
                 llr_s[c] = llr_ref[:, c * z:(c + 1) * z]
             stage_syndrome_from_alice()
         elif mode == "trial":
-            qber = qber_ref[0, 0]
-            log_p = jnp.log((1.0 - qber) / qber)
+            # log((1-q)/q) arrives precomputed by the wrapper (XLA):
+            # Mosaic's transcendental log differs from XLA's by an ulp at
+            # some QBERs, and an in-kernel log gave the two QC engines'
+            # trial kernels different channel-LLR bits — one near-waterfall
+            # frame in 512 then converged one sweep apart (round 5,
+            # PARITY.md §Z=2048). Same-bits LLRs keep every engine's trial
+            # path on the XLA decoder's exact trajectory.
+            log_p = qber_ref[0, 0]
             for c in range(nb):
                 bob_c = bob_ref[:, c * z:(c + 1) * z]
                 llr_s[c] = jnp.where(bob_c == 1, -log_p, log_p).astype(dtype)
@@ -286,9 +292,8 @@ def _build(
             # colliding (seed+tile arithmetic would alias chunks whose seeds
             # differ by less than the tile count).
             pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
-            qber = qber_ref[0, 0]
             num_errors = ne_ref[0, 0]
-            log_p = jnp.log((1.0 - qber) / qber)
+            log_p = qber_ref[0, 0]  # precomputed log((1-q)/q) — see trial
             for c in range(nb):
                 abits = pltpu.bitcast(
                     pltpu.prng_random_bits((tb, z)), jnp.uint32
@@ -738,8 +743,11 @@ def make_pallas_qc_trial(
         alice = jnp.pad(alice.astype(jnp.int32), ((0, pad), (0, 0)))
         bob = jnp.pad(bob.astype(jnp.int32), ((0, pad), (0, 0)))
         bp = b + pad
+        # optimization_barrier pins the log's lowering context so every
+        # engine's jit program produces the same scalar bits.
+        log_p = jax.lax.optimization_barrier(jnp.log((1.0 - qb) / qb))
         conv, keys, iters = call(
-            bp // tb, bp, alice, bob, qb, prim, sec, thr
+            bp // tb, bp, alice, bob, log_p, prim, sec, thr
         )
         return (
             conv[:b, 0].astype(bool),
@@ -803,8 +811,11 @@ def make_pallas_qc_montecarlo(
     )
 
     def _impl(sd, ne, qb, prim, sec, thr):
+        # optimization_barrier pins the log's lowering context so every
+        # engine's jit program produces the same scalar bits.
+        log_p = jax.lax.optimization_barrier(jnp.log((1.0 - qb) / qb))
         conv, keys, iters = call(
-            padded // tb, padded, sd, ne, qb, prim, sec, thr
+            padded // tb, padded, sd, ne, log_p, prim, sec, thr
         )
         return (
             conv[:batch, 0].astype(bool),

@@ -30,11 +30,16 @@ E_old/E_new the check->bit extrinsics and T the bit totals, the bit->check
 message of edge e in check r is clamp(roll(T, -s) - E_old[e]) — the clamp
 commutes with the roll, so this reproduces the fused kernel's
 clamp(total - ep) **bit for bit** — and the new totals are rebuilt fresh
-each iteration as T_new = llr + sum_r roll(E_new) with the message sum
-accumulated in base-row order *before* the channel term is added — the
-same f32 association as the XLA decoder's llr + sum(messages). Flooding is therefore exactly equal to the XLA float32
-decoder (tests/test_pallas_qc_stream.py), like the generic streaming
-engine's f32 transport. The layered schedule instead updates totals
+each iteration with the accumulator *starting at the channel LLR* and the
+messages added in base-row order — ((llr+e1)+e2)+..., the reference's
+std::accumulate-from-llr association (:78) shared by the fused kernel
+and the f64 exact mode. (Round 5: the messages-first order used before,
+(e1+e2+e3)+llr, flipped one near-waterfall N=102400 frame per 512 by one
+sweep against the fused kernel — f32 association across engines is
+load-bearing at production scale.) Flooding is therefore exactly equal
+to the fused kernel and the XLA float32 decoder
+(tests/test_pallas_qc_stream.py), like the generic streaming engine's
+f32 transport. The layered schedule instead updates totals
 incrementally row by row — identical arithmetic to the fused layered
 kernel and its NumPy oracle (tests/test_pallas_qc.py::_layered_oracle).
 
@@ -245,8 +250,13 @@ def _build(
 
         # ---- prologue: stage channel LLRs (totals), syndrome ----
         if mode == "trial":
-            qber = qber_ref[0, 0]
-            log_p = jnp.log((1.0 - qber) / qber)
+            # log((1-q)/q) arrives precomputed by the wrapper — Mosaic's
+            # in-kernel log gave this engine and the fused kernel
+            # different channel-LLR bits at some QBERs (one near-waterfall
+            # frame per 512 then converged one sweep apart; round 5,
+            # PARITY.md §Z=2048). Same-bits LLRs keep every engine's
+            # trial path on the XLA decoder's exact trajectory.
+            log_p = qber_ref[0, 0]
             for r in range(mb):
                 syn_s[r] = jnp.zeros((tb, z), jnp.int32)
 
@@ -285,9 +295,8 @@ def _build(
             # per-tile hardware PRNG stream. Alice's planes spill to the
             # HBM side buffer and stream back for the key comparison.
             pltpu.prng_seed(seed_ref[0, 0], i)
-            qber = qber_ref[0, 0]
             num_errors = ne_ref[0, 0]
-            log_p = jnp.log((1.0 - qber) / qber)
+            log_p = qber_ref[0, 0]  # precomputed log((1-q)/q) — see trial
             for r in range(mb):
                 syn_s[r] = jnp.zeros((tb, z), jnp.int32)
             for c in range(nb):
@@ -554,14 +563,19 @@ def _build(
 
             def body(carry):
                 it, conv, iters = carry
+                # Accumulator starts at the channel LLR so the rebuilt
+                # total is ((llr+e1)+e2)+... — the reference's
+                # std::accumulate-from-llr order (:78) that the fused
+                # kernel and the f64 exact mode share. Round 5 measured
+                # the old messages-first order ((e1+e2)+e3)+llr flipping
+                # one near-waterfall N=102400 frame per 512 by one sweep
+                # against the fused kernel (PARITY.md §Z=2048).
                 for c in range(nb):
-                    tot2[c] = jnp.zeros((tb, z), dtype)
+                    tot2[c] = llr_s[c]
                 sweep(conv, collect_ok=False)
                 keep = (conv != 0).astype(dtype)
                 for c in range(nb):
-                    tot[c] = tot[c] * keep + (
-                        llr_s[c] + tot2[c]
-                    ) * (1.0 - keep)
+                    tot[c] = tot[c] * keep + tot2[c] * (1.0 - keep)
                 ok = dsyn_ok()
                 newly = ok * (1 - conv)
                 iters = jnp.where(newly != 0, it + 1, iters)
@@ -574,17 +588,16 @@ def _build(
                 # Adaptive pair: convergence from the *previous* decisions,
                 # observed inside the check pass; the same per-check
                 # mismatch selects the factor (reference :745-776).
+                # llr-first accumulation as in the non-adaptive body.
                 for c in range(nb):
-                    tot2[c] = jnp.zeros((tb, z), dtype)
+                    tot2[c] = llr_s[c]
                 ok = sweep(conv, collect_ok=True)
                 newly = ok * (1 - conv)
                 iters = jnp.where(newly != 0, it + 1, iters)
                 conv = jnp.maximum(conv, ok)
                 keep = (conv != 0).astype(dtype)
                 for c in range(nb):
-                    tot[c] = tot[c] * keep + (
-                        llr_s[c] + tot2[c]
-                    ) * (1.0 - keep)
+                    tot[c] = tot[c] * keep + tot2[c] * (1.0 - keep)
                 return it + 1, conv, iters
 
         def cond(carry):
@@ -758,8 +771,11 @@ def make_pallas_qc_stream_trial(
         alice = jnp.pad(alice.astype(jnp.int32), ((0, pad), (0, 0)))
         bob = jnp.pad(bob.astype(jnp.int32), ((0, pad), (0, 0)))
         bp = b + pad
+        # optimization_barrier pins the log's lowering context so every
+        # engine's jit program produces the same scalar bits.
+        log_p = jax.lax.optimization_barrier(jnp.log((1.0 - qb) / qb))
         conv, keys, iters, _ = call(
-            bp // tb, bp, alice, bob, qb, prim, sec, thr
+            bp // tb, bp, alice, bob, log_p, prim, sec, thr
         )
         return (
             conv[:b, 0].astype(bool),
@@ -812,8 +828,11 @@ def make_pallas_qc_stream_montecarlo(
     )
 
     def _impl(sd, ne, qb, prim, sec, thr):
+        # optimization_barrier pins the log's lowering context so every
+        # engine's jit program produces the same scalar bits.
+        log_p = jax.lax.optimization_barrier(jnp.log((1.0 - qb) / qb))
         conv, keys, iters, _, _ = call(
-            padded // tb, padded, sd, ne, qb, prim, sec, thr
+            padded // tb, padded, sd, ne, log_p, prim, sec, thr
         )
         return (
             conv[:batch, 0].astype(bool),

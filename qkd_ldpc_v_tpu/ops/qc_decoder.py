@@ -219,7 +219,11 @@ def make_qc_decoder(
             sel = e_bit[jnp.asarray(ids.reshape(-1))].reshape(count, d, z, batch)
             cols = [col_order[col_start + i] for i in range(count)]
             llr_g = jnp.stack([llr_blocks[c] for c in cols])
-            total_g = llr_g + jnp.sum(sel, axis=1)
+            # Sequential llr-first accumulation — the association every
+            # engine shares (see ops/decoders._sum_terms, round 5).
+            total_g = llr_g
+            for s in range(d):
+                total_g = total_g + sel[:, s]
             new_g = clamp(total_g[:, None] - sel, threshold)
             for i in range(count):
                 total_by_col[cols[i]] = total_g[i]
