@@ -304,18 +304,18 @@ def main() -> int:
     if os.environ.get("BENCH_100K", "1") != "0" and matrix_100k.exists():
         stream_fields = _leg("stream-100k", leg_stream100k)
 
-    # N=102400 on the committed Z=2048 CW=3 flagship through the driver's
-    # schedule-aware engine routing (BASELINE.md §fused-100k, round 5):
-    # layered -> streamed QC engine (~18.1k f/s at batch 4096), flooding
-    # -> fused kernel (~18.4k). BENCH_QC100K_SCHEDULE=flooding for the
-    # parity-semantics number.
+    # N=102400 on the committed Z=2048 CW=3 flagship through the fused QC
+    # kernel with the schedule-aware tile (BASELINE.md §fused-100k, round
+    # 5): layered tile 8 measured 31.4k f/s at batch 4096 / 37.6k at 8192
+    # (the default); flooding tile 24 ~17-18.4k.
+    # BENCH_QC100K_SCHEDULE=flooding for the parity-semantics number.
     def leg_qc100k():
         from qkd_ldpc_v_tpu.models.hmatrix import read_matrix
         from qkd_ldpc_v_tpu.config import Config as _Cfg, MatrixFormat
         from qkd_ldpc_v_tpu.simulation import pallas_engine
 
         qc100k_trials = int(os.environ.get("BENCH_QC100K_TRIALS", "8192"))
-        qc100k_batch = int(os.environ.get("BENCH_QC100K_BATCH", "4096"))
+        qc100k_batch = int(os.environ.get("BENCH_QC100K_BATCH", "8192"))
         qc100k_sched = os.environ.get("BENCH_QC100K_SCHEDULE", "layered")
         big_qc = read_matrix(QC_MATRIX_100K, MatrixFormat.QC)
         # A schedule-specific compile failure must not take down the leg —

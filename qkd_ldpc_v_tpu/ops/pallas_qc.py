@@ -106,11 +106,18 @@ def _vmem_limit_bytes(scratch_shapes, io_block_bytes: int = 0) -> int:
 #     100k Z=2048: tile 8, 28.1k — 3.4x the tile-24 rate) and collapses
 #     as the live set approaches the VMEM ceiling.
 #   * flooding: independent row work amortizes fixed costs — the optimum
-#     tile shrinks as per-tile plane bytes grow (1k: 192 -> 2.27M;
+#     tile shrinks as per-tile plane bytes grow (1k: 384 -> 2.62M;
 #     10k: 48 -> 195k; Z=2048: 24 -> 16.4-18.4k; Z=1024 CW=4: 16 ->
 #     14.2k; one step larger or smaller measures 2-10% worse).
-_TILES = (192, 96, 48, 24, 16, 8)
+#
+# Tiny-plane codes (the 1k tier, <= 64 KiB per tile frame) are
+# per-grid-step-overhead bound, not VMEM bound: layered keeps climbing
+# to tile 384 (13.2 MiB live, 2.81M f/s vs 2.62M at 192), so they get a
+# larger live-set allowance.
+_TILES = (384, 192, 96, 48, 24, 16, 8)
 _LAYERED_LIVE_TARGET = 8 * 1024 * 1024
+_LAYERED_LIVE_TARGET_TINY = 14 * 1024 * 1024
+_TINY_PBPT = 64 * 1024
 
 
 def feasible_batch_tile(
@@ -131,8 +138,12 @@ def feasible_batch_tile(
     planes = num_be + 3 * nb + mb + (2 * nb if mode == "mc" else 0)
     pbpt = planes * qc.lifting * 4  # plane bytes per tile frame
     if schedule == "layered":
+        target = (
+            _LAYERED_LIVE_TARGET_TINY if pbpt <= _TINY_PBPT
+            else _LAYERED_LIVE_TARGET
+        )
         for tile in _TILES:
-            if pbpt * tile <= _LAYERED_LIVE_TARGET:
+            if pbpt * tile <= target:
                 return tile
         # Floor: no tile keeps the live set small, so take the smallest
         # (Z=2048 flagship: tile 8 = 28.1k f/s vs tile 16 = 25.8k).
@@ -140,8 +151,8 @@ def feasible_batch_tile(
             if pbpt * tile <= _VMEM_BUDGET:
                 return tile
         return 0
-    if pbpt <= 64 * 1024:
-        want = 192
+    if pbpt <= _TINY_PBPT:
+        want = 384
     elif pbpt <= 128 * 1024:
         want = 96
     elif pbpt <= 1024 * 1024:
