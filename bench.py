@@ -41,8 +41,9 @@ default to 3 reps (BENCH_REPS_SLOW); the persistent XLA compilation cache
 unchanged since the last on-hardware run.
 
 Env knobs: BENCH_REPS (default 5), BENCH_REPS_SLOW (default 3, the 100k
-legs), BENCH_DEADLINE (default 3000 s), BENCH_BATCH (default 196608),
-BENCH_STEPS (default 1),
+legs), BENCH_DEADLINE (default 3000 s), BENCH_BATCH (default 393216 —
+the ~0.6 s dispatch amortizes tunnel noise; measured faster AND tighter
+than 196608), BENCH_STEPS (default 1),
 BENCH_ALIST=0 to skip the alist measurement (slow first compile),
 BENCH_ALIST_BATCH (default 8192), BENCH_100K=0 to skip the 100k
 measurement, BENCH_100K_TRIALS (default 1024 — enough 64-frame steps that
@@ -215,7 +216,11 @@ def main() -> int:
     from qkd_ldpc_v_tpu.models.hmatrix import read_sparse_matrix_alist
     from qkd_ldpc_v_tpu.models.qc import generate_qc_peg
 
-    batch = int(os.environ.get("BENCH_BATCH", "196608"))
+    # 393216 measured both faster and tighter than 196608 through the
+    # driver (348.0k median [338.2k, 349.8k] vs 325.8k [288.8k, 336.6k],
+    # round 5): the ~0.6 s dispatch amortizes the tunnel's per-dispatch
+    # noise that dominated sub-second legs.
+    batch = int(os.environ.get("BENCH_BATCH", "393216"))
     steps = int(os.environ.get("BENCH_STEPS", "1"))
     schedule = os.environ.get("BENCH_SCHEDULE", "layered")
 
@@ -306,16 +311,16 @@ def main() -> int:
 
     # N=102400 on the committed Z=2048 CW=3 flagship through the fused QC
     # kernel with the schedule-aware tile (BASELINE.md §fused-100k, round
-    # 5): layered tile 8 measured 31.4k f/s at batch 4096 / 37.6k at 8192
-    # (the default); flooding tile 24 ~17-18.4k.
+    # 5): layered tile 8 measured 31.4k f/s at batch 4096, 37.6k at 8192,
+    # 40.3k at 16384 (the default); flooding tile 24 ~17-18.4k.
     # BENCH_QC100K_SCHEDULE=flooding for the parity-semantics number.
     def leg_qc100k():
         from qkd_ldpc_v_tpu.models.hmatrix import read_matrix
         from qkd_ldpc_v_tpu.config import Config as _Cfg, MatrixFormat
         from qkd_ldpc_v_tpu.simulation import pallas_engine
 
-        qc100k_trials = int(os.environ.get("BENCH_QC100K_TRIALS", "8192"))
-        qc100k_batch = int(os.environ.get("BENCH_QC100K_BATCH", "8192"))
+        qc100k_trials = int(os.environ.get("BENCH_QC100K_TRIALS", "16384"))
+        qc100k_batch = int(os.environ.get("BENCH_QC100K_BATCH", "16384"))
         qc100k_sched = os.environ.get("BENCH_QC100K_SCHEDULE", "layered")
         big_qc = read_matrix(QC_MATRIX_100K, MatrixFormat.QC)
         # A schedule-specific compile failure must not take down the leg —
