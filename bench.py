@@ -45,7 +45,7 @@ legs), BENCH_DEADLINE (default 3000 s), BENCH_BATCH (default 786432 —
 bigger dispatches amortize tunnel noise; measured faster and tighter
 than 196608 at every step of the sweep), BENCH_STEPS (default 1),
 BENCH_ALIST=0 to skip the alist measurement (slow first compile),
-BENCH_ALIST_BATCH (default 8192), BENCH_100K=0 to skip the 100k
+BENCH_ALIST_BATCH (default 32768), BENCH_100K=0 to skip the 100k
 measurement, BENCH_100K_TRIALS (default 1024 — enough 64-frame steps that
 per-step dispatch overhead stops masking the steady-state operating point;
 256 under-reported it by ~19% in round 2), BENCH_QC100K=0 to skip the
@@ -272,7 +272,10 @@ def main() -> int:
     )
 
     def leg_alist():
-        alist_batch = int(os.environ.get("BENCH_ALIST_BATCH", "8192"))
+        # 32768 measures 27.0k median [26.9k, 27.4k] vs 24.9-25.1k at
+        # 8192 (round 5) — same dispatch-noise amortization as the
+        # headline batch sweep.
+        alist_batch = int(os.environ.get("BENCH_ALIST_BATCH", "32768"))
         alist = read_sparse_matrix_alist(matrix_10k)
         asample = _measure(
             alist, ALIST_ALPHA, {"use_pallas": True}, alist_batch, steps,
