@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--tiles", default="8,16,24,32,48,64,96")
+    ap.add_argument("--tiles", default="8,16,24,32,48,64,96,192,384")
     ap.add_argument("--batch", type=int, default=196608)
     ap.add_argument("--schedules", default="layered,flooding")
     ap.add_argument("--reps", type=int, default=3)
