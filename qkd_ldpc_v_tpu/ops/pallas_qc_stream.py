@@ -3,9 +3,9 @@
 The fused QC kernel (ops/pallas_qc.py) holds the whole per-tile message
 state in VMEM, which caps the frame size — near N ~ 40k under Mosaic's
 16 MiB default scoped limit (the round-3 world this engine was built in),
-near N ~ 400k for CW=3 at the measured 100 MiB budget (round 4,
-scripts/probe_vmem.py). This engine lifts the cap further for
-quasi-cyclic codes the TPU-native way the round-2 review asked for:
+near N ~ 330k for CW=3 at the measured 84 MiB declared-plane budget
+(round 5, BASELINE.md §tile-sweep). This engine lifts the cap further
+for quasi-cyclic codes the TPU-native way the round-2 review asked for:
 **circulant rolls instead of Clos permutes, block-rows streamed through
 VMEM**:
 
@@ -86,13 +86,14 @@ from qkd_ldpc_v_tpu.ops.linapprox import (
 # planes the engine allocates itself; compiler stack temporaries push the
 # real live set well past Mosaic's 16 MiB *default* scoped limit — hence
 # the computed vmem_limit_bytes request below. The v5e core physically
-# has 128 MiB of VMEM and 120 MiB of scratch is measured workable
-# (scripts/probe_vmem.py, round 4), so the budget matches the fused
-# kernel's (pallas_qc._VMEM_BUDGET). With the fused kernel now serving
-# every committed frame size, this engine is the next capacity tier:
-# codes whose *fused* live set (which adds one [TB, Z] plane per block
-# edge) overflows but whose resident totals still fit — roughly
-# N up to ~700k for CW=3/4 QC codes at TB=8.
+# has 128 MiB of VMEM; 120 MiB of scratch is the probed request ceiling
+# (scripts/probe_vmem.py) and ~84 MiB of *declared* planes the measured
+# workable set (round 5, pallas_qc._VMEM_BUDGET — stack temporaries eat
+# the rest). With the fused kernel serving every committed frame size,
+# this engine is the next capacity tier: codes whose *fused* live set
+# (which adds one [TB, Z] plane per block edge) overflows but whose
+# resident totals still fit — roughly N up to ~700k for CW=3/4 QC codes
+# at TB=8.
 _VMEM_BUDGET = 72 * 1024 * 1024
 _VMEM_LIMIT_CAP = 120 * 1024 * 1024
 # Floor for the vmem_limit_bytes request: the Z=2048 flagship's flooding
