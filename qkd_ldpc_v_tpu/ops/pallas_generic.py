@@ -942,6 +942,25 @@ def _build(
                 scalar_spec,
             ]
             out_shape, out_specs = stats_outputs(b)
+        # Computed scoped-VMEM request (round 5): scratch + resident
+        # tables + double-buffered io blocks + half again for Mosaic
+        # stack temporaries, floored at the 16 MiB-era default behavior
+        # and capped at the probed 120 MiB ceiling. This is what lets
+        # MAX_TILES exceed the original 4-tile/16 MiB envelope.
+        scratch_bytes = sum(
+            int(np.prod(s.shape)) * jnp.dtype(s.dtype).itemsize
+            for s in scratch_shapes
+        )
+        table_bytes = sum(
+            x.size * x.dtype.itemsize for x in const_operands
+        )
+        io_bytes = 2 * sum(
+            int(np.prod(s.block_shape)) * 4
+            for s in in_specs[len(const_specs):]
+        )
+        resident = scratch_bytes + table_bytes + io_bytes
+        limit = int(min(max(resident + resident // 2, 16 * 1024 * 1024),
+                        120 * 1024 * 1024))
         return pl.pallas_call(
             kernel,
             grid=(num_tiles,),
@@ -950,6 +969,7 @@ def _build(
             out_shape=out_shape,
             scratch_shapes=scratch_shapes,
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=limit),
         )(*const_operands, *operands)
 
     return call, plan, dtype, tb
