@@ -137,11 +137,19 @@ def feasible_batch_tile(
     nb, mb = qc.base_bits, qc.base_checks
     planes = num_be + 3 * nb + mb + (2 * nb if mode == "mc" else 0)
     pbpt = planes * qc.lifting * 4  # plane bytes per tile frame
+    # Codes with many block-rows amortize more per-sweep work per grid
+    # step, shifting the optimum one tile step up at equal plane bytes:
+    # the Z=256 mb=26 ladder code measured layered 414k at tile 24 vs
+    # 374k at 16, flooding 298k at 96 vs 276k at 48, while the same-pbpt
+    # Z=512 mb=6 headline prefers 16/48 (BASELINE.md §tile-sweep).
+    many_rows = qc.base_checks >= 16
     if schedule == "layered":
-        target = (
-            _LAYERED_LIVE_TARGET_TINY if pbpt <= _TINY_PBPT
-            else _LAYERED_LIVE_TARGET
-        )
+        if pbpt <= _TINY_PBPT:
+            target = _LAYERED_LIVE_TARGET_TINY
+        elif many_rows:
+            target = 10 * 1024 * 1024
+        else:
+            target = _LAYERED_LIVE_TARGET
         for tile in _TILES:
             if pbpt * tile <= target:
                 return tile
@@ -156,7 +164,7 @@ def feasible_batch_tile(
     elif pbpt <= 128 * 1024:
         want = 96
     elif pbpt <= 1024 * 1024:
-        want = 48
+        want = 96 if many_rows else 48
     elif pbpt <= 3584 * 1024:
         want = 24
     else:
